@@ -1,0 +1,116 @@
+"""Activation shims.
+
+The reference's config files instantiate ``torch.nn.GELU()`` / ``Tanh()``
+objects directly inside config dicts (``src/configs/train/cfg_twophase_ufno.py:3,54,71``).
+To keep config files launching unchanged, this module provides callable
+activation classes with the same names and a resolver that also accepts
+*torch* activation instances (torch is CPU-only here and only used as a
+naming shim — the returned callables are pure jax functions).
+
+Numerics parity: torch ``GELU()`` defaults to the exact erf formulation, so
+``GELU`` maps to ``jax.nn.gelu(..., approximate=False)``.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+class _Activation:
+    """Base: a named, argument-carrying callable usable as a config value."""
+
+    def __call__(self, x):
+        raise NotImplementedError
+
+    def __repr__(self):
+        return f"{type(self).__name__}()"
+
+    # config values get deep-copied / compared by the parser
+    def __eq__(self, other):
+        return type(self) is type(other) and self.__dict__ == other.__dict__
+
+    def __hash__(self):
+        return hash((type(self).__name__, tuple(sorted(self.__dict__.items()))))
+
+    def __deepcopy__(self, memo):
+        return self
+
+
+class GELU(_Activation):
+    def __call__(self, x):
+        return jax.nn.gelu(x, approximate=False)
+
+
+class Tanh(_Activation):
+    def __call__(self, x):
+        return jnp.tanh(x)
+
+
+class ReLU(_Activation):
+    def __call__(self, x):
+        return jax.nn.relu(x)
+
+
+class SiLU(_Activation):
+    def __call__(self, x):
+        return jax.nn.silu(x)
+
+
+class Identity(_Activation):
+    def __call__(self, x):
+        return x
+
+
+class Swish(_Activation):
+    """x * sigmoid(beta * x) (``src/models/common.py:8-17``)."""
+
+    def __init__(self, beta=1):
+        self.beta = beta
+
+    def __call__(self, x):
+        return x * jax.nn.sigmoid(self.beta * x)
+
+
+_BY_NAME = {
+    "gelu": GELU(),
+    "tanh": Tanh(),
+    "relu": ReLU(),
+    "silu": SiLU(),
+    "swish": Swish(),
+    "identity": Identity(),
+    "none": Identity(),
+}
+
+
+def resolve_activation(act):
+    """Normalize an activation spec (str / callable / torch module) to a jax fn."""
+    if act is None:
+        return Identity()
+    if isinstance(act, _Activation):
+        return act
+    if isinstance(act, str):
+        key = act.lower()
+        if key not in _BY_NAME:
+            raise ValueError(f"Unknown activation '{act}'")
+        return _BY_NAME[key]
+    # torch modules (configs may carry torch.nn.GELU() etc. for compatibility)
+    tname = type(act).__name__
+    mod = type(act).__module__
+    if mod.startswith("torch"):
+        if tname in ("GELU",):
+            approx = getattr(act, "approximate", "none")
+            return _BY_NAME["gelu"] if approx == "none" else (
+                lambda x: jax.nn.gelu(x, approximate=True))
+        if tname in _BY_NAME_TORCH:
+            return _BY_NAME[_BY_NAME_TORCH[tname]]
+        raise ValueError(f"Unsupported torch activation {tname}")
+    if callable(act):
+        return act
+    raise ValueError(f"Cannot resolve activation from {act!r}")
+
+
+_BY_NAME_TORCH = {
+    "Tanh": "tanh",
+    "ReLU": "relu",
+    "SiLU": "silu",
+    "Identity": "identity",
+}

@@ -1,0 +1,82 @@
+"""U-FNO processor: per block, a spectral FNO layer and a full mini-U-Net
+run in parallel on the same input, summed, then activated.
+
+Capability parity with ``src/models/enc_proc_dec_components/proc_ufno.py``:
+the FNO_Layer is built with ``activation=None`` (``proc_ufno.py:83``) so the
+activation is applied once, after the branch sum (``:118``).
+"""
+
+from typing import Any, Sequence, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from nps_tpu.common.interfaces import D, M
+from nps_tpu.models.activations import resolve_activation
+from nps_tpu.models.fno import FNO_Layer
+from nps_tpu.models.unet_modern import UNetModern
+
+
+class UFNO(nn.Module):
+    model_interface = M.AR_TB
+    data_interface = (D.sim1d, D.sim1d_var_t, D.sim2d)
+
+    pde: Any = None
+    num_spatial_dims: int = 1
+    n_cond: int = 0
+    hidden_features: int = 128
+    hidden_blocks: int = 4
+    cond_mode: str = "concat"
+    padding_mode: str = "circular"
+
+    # FNO specific
+    fno_modes: Union[int, Sequence[int]] = 48
+    fno_kernel_size: int = 1
+    fno_conv_mode: str = "single"
+
+    # UNet specific
+    activation: Any = "gelu"
+    norm: bool = False
+    ch_mults: Sequence[int] = (1, 1, 1)
+    is_attn: Sequence[bool] = (False, False, False)
+    mid_attn: bool = False
+    n_blocks: int = 1
+    use1x1: bool = True
+    mix_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, h, variables=None, variables_broadcast=None, pos=None):
+        assert self.cond_mode in ("film", "concat", None), \
+            "Incorrect conditioning mode supplied"
+        act = resolve_activation(self.activation)
+        film = self.cond_mode == "film" and self.n_cond > 0
+        hidden_in = (self.hidden_features + self.n_cond
+                     if self.cond_mode == "concat" else self.hidden_features)
+        pm = self.padding_mode if self.padding_mode != "ones" else "zeros"
+
+        for i in range(self.hidden_blocks):
+            fno_layer = FNO_Layer(
+                hidden_dim=hidden_in, hidden_dim_out=self.hidden_features,
+                num_spatial_dims=self.num_spatial_dims, modes=self.fno_modes,
+                feature_transform=film, feature_transform_dim=self.n_cond,
+                kernel_size=self.fno_kernel_size, conv_mode=self.fno_conv_mode,
+                padding_mode=pm, activation=None, mix_impl=self.mix_impl,
+                name=f"fno_layers_{i}")
+            unet = UNetModern(
+                pde=self.pde, num_spatial_dims=self.num_spatial_dims,
+                n_cond=self.n_cond, hidden_features=self.hidden_features,
+                cond_mode=self.cond_mode, activation=self.activation,
+                norm=self.norm, ch_mults=tuple(self.ch_mults),
+                is_attn=tuple(self.is_attn), mid_attn=self.mid_attn,
+                n_blocks=self.n_blocks, use1x1=self.use1x1,
+                padding_mode=self.padding_mode, name=f"unet_layers_{i}")
+
+            if self.cond_mode == "film":
+                h_fno = fno_layer(h, p=variables)
+            else:
+                h_in = (jnp.concatenate([h, variables_broadcast], axis=-1)
+                        if variables_broadcast is not None else h)
+                h_fno = fno_layer(h_in)
+            h_unet = unet(h, variables_broadcast=variables_broadcast, pos=pos)
+            h = act(h_fno + h_unet)
+        return h

@@ -1,0 +1,143 @@
+"""Mode-truncated spectral convolution (the FNO/U-FNO hot op), TPU-first.
+
+Math parity with ``src/models/enc_proc_dec_components/proc_fno.py:158-376``:
+rfft over the spatial dims, complex per-mode channel mixing on the retained
+low-frequency corner blocks (1 block in 1D, 2 in 2D, 4 in 3D), zero
+elsewhere, irfft back to the input spatial size.
+
+TPU-first design decisions (deliberately *not* a translation):
+- channels-last layout [b, *spatial, C];
+- complex weights stored split as [2(re/im), i, o, *modes] — TPU has no
+  native complex MXU path, so the complex contraction runs as four real
+  einsums (batched matmuls over the mode axes) with float32 accumulation;
+- the corner blocks are *gathered* (slice + concat) rather than scattered
+  into a zero-filled spectrum, so XLA sees static dense ops;
+- FFT itself stays on XLA's native FFT (fusing FFT into Pallas is not a
+  win; see SURVEY.md §7).
+
+The block mixing step can be routed through a Pallas kernel
+(``nps_tpu.ops.pallas.spectral_mix``) via ``mix_impl='pallas'``.
+"""
+
+from functools import partial
+
+import jax.numpy as jnp
+
+
+def _complex_mix(blk, w, film=None, film_mode=1, precision=None):
+    """Per-mode complex channel mixing.
+
+    blk: complex [b, *modeshape, i]
+    w:   real    [2, i, o, *modeshape]
+    film: optional real [b, o, *modeshape] FiLM scaling
+    returns complex [b, *modeshape, o]
+    """
+    wr, wi = w[0], w[1]
+    br, bi = jnp.real(blk), jnp.imag(blk)
+    nd = wr.ndim - 2  # number of mode axes
+    mode_axes = "xyz"[:nd]
+    eq = f"b{mode_axes}i,io{mode_axes}->b{mode_axes}o"
+    ein = partial(jnp.einsum, eq, preferred_element_type=jnp.float32,
+                  precision=precision)
+    yr = ein(br, wr) - ein(bi, wi)
+    yi = ein(br, wi) + ein(bi, wr)
+    if film is not None:
+        # film arrives [b, o, *modes]; move o last
+        f = jnp.moveaxis(film, 1, -1)
+        if film_mode == 0:
+            f = 1.0 + f
+        yr = yr * f
+        yi = yi * f
+    return yr + 1j * yi
+
+
+def spectral_conv_nd(x, weights, modes, film=None, film_mode=1,
+                     num_spatial_dims=None, mix_impl="xla", precision=None):
+    """Apply a mode-truncated spectral conv.
+
+    Args:
+        x: [b, *spatial, Ci] real float array.
+        weights: list of split-complex weight arrays [2, Ci, Co, *modes];
+            length 1 (1D), 2 (2D: low/high rows), or 4 (3D corner blocks),
+            matching the reference's weights1..weights4.
+        modes: tuple of per-dim retained mode counts.
+        film: optional FiLM scaling, [b, Co, n_blocks*m1(*...), m_last]
+            laid out exactly like the reference's FiLM weight grids.
+        film_mode: 0 -> multiply by (1 + w); 1 -> multiply by w.
+        mix_impl: 'xla' (einsum) or 'pallas'.
+    Returns:
+        [b, *spatial, Co] real float array.
+    """
+    nd = num_spatial_dims or (x.ndim - 2)
+    sp_axes = tuple(range(1, 1 + nd))
+    sp = x.shape[1:1 + nd]
+    b = x.shape[0]
+    co = weights[0].shape[2]
+
+    x32 = x.astype(jnp.float32)
+    xf = jnp.fft.rfftn(x32, axes=sp_axes)  # complex64, half spectrum on last sp dim
+
+    if mix_impl == "pallas":
+        from nps_tpu.ops.pallas.spectral_mix import complex_mix_pallas as _mix_k
+
+        def mix(blk, w, f):
+            return _mix_k(blk, w, f, film_mode)
+    else:
+        def mix(blk, w, f):
+            return _complex_mix(blk, w, f, film_mode, precision)
+
+    if nd == 1:
+        (m1,) = modes
+        n1 = sp[0]
+        nf = n1 // 2 + 1
+        blk = xf[:, :m1, :]
+        f = film[:, :, :m1] if film is not None else None  # [b, o, m1]
+        out = mix(blk, weights[0], f)  # [b, m1, o]
+        out_ft = jnp.concatenate(
+            [out, jnp.zeros((b, nf - m1, co), out.dtype)], axis=1)
+        return jnp.fft.irfft(out_ft, n=n1, axis=1)
+
+    if nd == 2:
+        m1, m2 = modes
+        n1, n2 = sp
+        nf2 = n2 // 2 + 1
+        assert 2 * m1 <= n1 and m2 <= nf2, "mode blocks overlap the spectrum"
+        top = xf[:, :m1, :m2, :]
+        bot = xf[:, n1 - m1:, :m2, :]
+        blk = jnp.concatenate([top, bot], axis=1)       # [b, 2*m1, m2, i]
+        w = jnp.concatenate([weights[0], weights[1]], axis=3)  # [2,i,o,2*m1,m2]
+        f = film[:, :, :2 * m1, :m2] if film is not None else None
+        out = mix(blk, w, f)                            # [b, 2*m1, m2, o]
+        top_o, bot_o = out[:, :m1], out[:, m1:]
+        mid = jnp.zeros((b, n1 - 2 * m1, m2, co), out.dtype)
+        col = jnp.concatenate([top_o, mid, bot_o], axis=1)     # [b, n1, m2, o]
+        right = jnp.zeros((b, n1, nf2 - m2, co), out.dtype)
+        out_ft = jnp.concatenate([col, right], axis=2)
+        return jnp.fft.irfftn(out_ft, s=(n1, n2), axes=(1, 2))
+
+    if nd == 3:
+        m1, m2, m3 = modes
+        n1, n2, n3 = sp
+        nf3 = n3 // 2 + 1
+        assert 2 * m1 <= n1 and 2 * m2 <= n2 and m3 <= nf3
+        if film is not None:
+            raise NotImplementedError(
+                "FiLM conditioning for 3D spectral convs is not supported "
+                "(the reference implementation is inconsistent here; "
+                "proc_fno.py:352-372)")
+        c00 = xf[:, :m1, :m2, :m3, :]
+        c10 = xf[:, n1 - m1:, :m2, :m3, :]
+        c01 = xf[:, :m1, n2 - m2:, :m3, :]
+        c11 = xf[:, n1 - m1:, n2 - m2:, :m3, :]
+        outs = [mix(c, w, None)
+                for c, w in zip([c00, c10, c01, c11], weights)]
+        z1 = jnp.zeros((b, n1 - 2 * m1, m2, m3, co), outs[0].dtype)
+        colL = jnp.concatenate([outs[0], z1, outs[1]], axis=1)  # [b,n1,m2,m3,o]
+        colR = jnp.concatenate([outs[2], z1, outs[3]], axis=1)
+        z2 = jnp.zeros((b, n1, n2 - 2 * m2, m3, co), outs[0].dtype)
+        plane = jnp.concatenate([colL, z2, colR], axis=2)       # [b,n1,n2,m3,o]
+        z3 = jnp.zeros((b, n1, n2, nf3 - m3, co), outs[0].dtype)
+        out_ft = jnp.concatenate([plane, z3], axis=3)
+        return jnp.fft.irfftn(out_ft, s=(n1, n2, n3), axes=(1, 2, 3))
+
+    raise NotImplementedError(f"spectral conv for {nd}D not implemented")
