@@ -60,7 +60,10 @@ def resolve_component(model, pde, base_args, extra_kwargs=None):
     """Resolve a component spec to (cls, kwargs); mirrors ``create_model``."""
     if isinstance(model, nn.Module):
         return model, None
-    if isinstance(model, (dict, Namespace, str)):
+    # flax freezes dict/list module fields -> accept any Mapping
+    from collections.abc import Mapping
+
+    if isinstance(model, (Mapping, Namespace, str)):
         if isinstance(model, str):
             model_class = model
             model_kwargs = dict(base_args)
@@ -137,14 +140,15 @@ class EncProcDec(nn.Module):
         return n
 
     def _bc_encoder_out(self):
+        from collections.abc import Mapping
+
         spec = self.bc_encoder
         if isinstance(spec, nn.Module):
             return spec.n_out
         if isinstance(spec, Namespace):
             spec = vars(spec)
-        if isinstance(spec, dict):
-            if "bc_encoder_out" in spec:
-                return spec["bc_encoder_out"]
+        if isinstance(spec, Mapping) and "bc_encoder_out" in spec:
+            return spec["bc_encoder_out"]
         return dict(self.base_args)["bc_encoder_out"]
 
     @property

@@ -1,0 +1,137 @@
+"""Golden full-model parity vs the PyTorch reference (weight transplant).
+
+For each twophase model family, build the reference model and the nps_tpu
+model from the same config, transplant the reference weights via
+``nps_tpu.compat``, and require forward outputs (through the full physics
+activation wrapper) to agree. This is the acceptance gate for BASELINE.md's
+"per-step losses within 1e-3" requirement at the single-forward level.
+
+Runs only where /root/reference is mounted; skipped elsewhere.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tests.ref_loader import reference_available, load_reference
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference tree not available")
+
+import torch  # noqa: E402
+
+import nps_tpu.models as models  # noqa: E402
+from nps_tpu.compat import convert_state_dict  # noqa: E402
+from nps_tpu.compat.torch_weights import assert_params_match_structure  # noqa: E402
+from nps_tpu.pde import PDE2D  # noqa: E402
+
+
+TW = 25
+NX1, NX2 = 96, 64
+N_STATIC, N_SPATIAL = 2, 2
+
+
+def model_cfg(name):
+    """The four twophase model configs (cfg_twophase_*.py model dicts),
+    minus the wrapper/object keys."""
+    base = dict(
+        model_class="EncProcDec",
+        num_c=1, num_spatial_dims=2, time_window=TW, data_structure="grid",
+        processor_residual=False, encoder="enc_grid.ElementWise",
+        activation=torch.nn.GELU(),
+        decoder="dec_grid.TimeConvDense", dec_delta_mode="per_step")
+    if name == "drn":
+        return dict(base, processor="DilatedResnet", kernel_size=5,
+                    hidden_blocks=2, hidden_features=128,
+                    padding_mode="circular", dec_kernel_size=5,
+                    dec_padding_mode="circular")
+    if name == "unet":
+        return dict(base, processor="UNetModern", ch_mults=[2, 2, 1, 2],
+                    is_attn=[False] * 4, mid_attn=False, hidden_features=32,
+                    norm=True, use1x1=True, cond_mode="concat",
+                    padding_mode="circular", dec_kernel_size=5,
+                    dec_padding_mode="circular")
+    if name == "ufno":
+        return dict(base, processor="UFNO", fno_modes=10, hidden_blocks=3,
+                    hidden_features=192, fno_kernel_size=1,
+                    fno_conv_mode="single", padding_mode="circular",
+                    ch_mults=[1, 1], is_attn=[False, False], mid_attn=False,
+                    norm=True, use1x1=True)
+    if name == "ufno_fno":
+        return dict(base, processor=[dict(object="FNO"), dict(object="UFNO")],
+                    hidden_blocks=1, fno_modes=10, hidden_features=192,
+                    fno_kernel_size=1, fno_conv_mode="single",
+                    padding_mode="circular", ch_mults=[1, 1],
+                    is_attn=[False, False], mid_attn=False, norm=True,
+                    use1x1=True)
+    raise ValueError(name)
+
+
+WRAPPER_CFG = dict(
+    activation_final=torch.nn.Tanh(), enforce_spatial_cond=True,
+    spatial_cond_channel=0, approx_volume_preserve=True,
+    approx_volume_preserve_mode="individual_static", max_pct_dif=1 / 25)
+
+
+def make_pdes():
+    _, ref_pdes = load_reference()
+    kw = dict(tmin=0.0, tmax=10.0, nt=501, L1=1.0, L2=0.66, nx1=NX1, nx2=NX2,
+              x=None, name="twophase", n_cond_static=N_STATIC,
+              n_cond_dynamic=0, n_cond_spatial=N_SPATIAL)
+    return PDE2D(**kw), ref_pdes.PDE2D(**kw)
+
+
+def make_inputs(b=2, seed=0):
+    rng = np.random.default_rng(seed)
+    u = (rng.random((b, 1, TW, NX1, NX2)) + 0.5).astype(np.float32)
+    cond = rng.random((b, N_STATIC)).astype(np.float32)
+    sc = np.zeros((b, N_SPATIAL, NX1, NX2), np.float32)
+    sc[:, 0, 10:20, 10:20] = 1.0  # obstacle block
+    sc[:, 1] = rng.random((b, NX1, NX2)).astype(np.float32)
+    return u, cond, sc
+
+
+@pytest.mark.parametrize("name", ["drn", "unet", "ufno", "ufno_fno"])
+def test_forward_parity(name):
+    import copy
+
+    ref_models, _ = load_reference()
+    pde, ref_pde = make_pdes()
+    cfg = model_cfg(name)
+    # the reference's create_model pops 'object' keys from spec dicts in
+    # place -> give each side its own copy
+    cfg_ref = copy.deepcopy(cfg)
+    cfg_ref["activation"] = cfg["activation"]
+    cfg = {**copy.deepcopy(cfg), "activation": cfg["activation"]}
+    u, cond, sc = make_inputs()
+    pos = np.broadcast_to(np.asarray(pde.x, np.float32)[None],
+                          (u.shape[0], NX1, NX2, 2)).copy()
+
+    torch.manual_seed(0)
+    ref_model = ref_models.activation_wrapper(**cfg_ref, **WRAPPER_CFG,
+                                              pde=ref_pde)
+    ref_model.eval()
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.tensor(u), cond=torch.tensor(cond), bc=None,
+            pos=torch.tensor(pos), t_cond=None,
+            spatial_cond=torch.tensor(sc)).numpy()
+
+    my_model = models.activation_wrapper(**cfg, **WRAPPER_CFG, pde=pde)
+    init_params = my_model.init(jax.random.PRNGKey(0), u, cond=cond,
+                                pos=pos, spatial_cond=sc)
+    params = convert_state_dict(ref_model.state_dict())
+    params = {"params": {"inner": params["params"]}}
+    assert_params_match_structure(params, init_params)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    with jax.default_matmul_precision("highest"):
+        out = jax.jit(my_model.apply)(params, u, cond=cond, pos=pos,
+                                      spatial_cond=sc)
+    out = np.asarray(out)
+
+    assert out.shape == ref_out.shape
+    err = np.max(np.abs(out - ref_out))
+    denom = np.max(np.abs(ref_out)) + 1e-12
+    assert err / denom < 1e-4, f"max abs err {err} (rel {err / denom})"
