@@ -1,0 +1,1 @@
+"""Dataset presets (none defined; group kept for preset-swap semantics)."""

@@ -1,0 +1,1 @@
+"""Trainer presets (none defined; group kept for preset-swap semantics)."""

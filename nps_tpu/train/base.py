@@ -1,0 +1,488 @@
+"""Training runtime backbone.
+
+Capability parity with ``src/trainers/base.py`` (TrainInterface): interface
+compatibility asserts, dataloaders, the epoch loop with periodic named
+validation -> best-model save -> test-on-best, weighted-average test
+aggregation with optional data collection, stdout/wandb metric sinks, and
+best/final model export.
+
+Beyond the reference (SURVEY.md §5 gaps -> first-class here):
+- functional state: (params, opt_state) pytrees updated by jitted steps
+  with donated buffers; no hidden module state;
+- full checkpoint/RESUME (params + opt state + epoch + host RNG), which the
+  reference lacks entirely (save-only);
+- samples/sec/chip throughput counters and optional ``jax.profiler`` traces;
+- optional data-parallel sharding over a device mesh (``nps_tpu.parallel``).
+"""
+
+import os
+import pickle
+import time
+import warnings
+from abc import ABCMeta, abstractmethod
+from argparse import Namespace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.serialization
+
+from nps_tpu.common.interfaces import D, M  # noqa: F401
+from nps_tpu.data.pipeline import HostDataLoader, prefetch_to_device
+from nps_tpu.train import optim as optim_lib
+from nps_tpu.utils import misc as util
+
+WANDB_AVAILABLE = True
+try:
+    import wandb
+except ModuleNotFoundError:
+    WANDB_AVAILABLE = False
+
+
+class TrainInterface(metaclass=ABCMeta):
+    def __init__(self, model, data, criterion, optimizer=None,
+                 lr_scheduler=None, config=None, save_path="models/model",
+                 max_train_batches=float("inf"), max_test_batches=float("inf"),
+                 epoch_callback=None, use_wandb=False, wandb_kwargs=None,
+                 wandb_config_dict=None, **kwargs):
+        self.model = model
+        self.data = data
+        self.config = config if config is not None else Namespace(**kwargs)
+        self.config.save_path = save_path
+        if not hasattr(self.config, "variable_time"):
+            self.config.variable_time = self.data.data_interface == D.sim1d_var_t
+
+        self.criterion = criterion
+        self.optimizer_spec = optimizer      # config dict or (optax, lr)
+        self.lr_scheduler_spec = lr_scheduler
+
+        self.max_train_batches = max_train_batches
+        self.max_test_batches = max_test_batches
+        self.epoch_callback = epoch_callback
+
+        if not hasattr(self.config, "print_setting"):
+            self.print_setting = dict(print_per_step=False)
+        else:
+            self.print_setting = dict(self.config.print_setting)
+
+        self.use_wandb = use_wandb and WANDB_AVAILABLE
+        if use_wandb and not WANDB_AVAILABLE:
+            warnings.warn("Could not import WandB -- WandB not used!")
+        self.wandb_kwargs = wandb_kwargs
+        self.wandb_config_dict = wandb_config_dict
+
+        self.test_kwargs_list = getattr(self.config, "test_kwargs_list",
+                                        [("default", {})])
+
+        # ---- functional training state ----
+        self.params = None
+        self.opt_state = None
+        self.tx = None
+        self.lr_scheduler = None
+        self.sharding = None
+        self.start_epoch = 0
+        self._init_device()
+
+    # ------------------------------------------------------------------
+    # devices / sharding
+    # ------------------------------------------------------------------
+    def _init_device(self):
+        requested = str(getattr(self.config, "device", "default")).lower()
+        platform = {"cuda": None, "gpu": None, "tpu": None,
+                    "default": None, "cpu": "cpu"}.get(requested, None)
+        if requested == "cpu":
+            try:
+                self.device = jax.devices("cpu")[0]
+            except RuntimeError:
+                self.device = jax.devices()[0]
+        else:
+            self.device = jax.devices()[0]
+        self.platform = self.device.platform
+
+        if getattr(self.config, "data_parallel", False):
+            from nps_tpu.parallel import make_mesh, batch_sharding
+
+            devices = [d for d in jax.devices()
+                       if d.platform == self.device.platform]
+            self.mesh = make_mesh(devices)
+            self.sharding = batch_sharding(self.mesh)
+        else:
+            self.mesh = None
+
+    def __repr__(self):
+        return self.__class__.__name__
+
+    @property
+    @abstractmethod
+    def model_interface(self):
+        raise NotImplementedError("model_interface not set!")
+
+    @property
+    @abstractmethod
+    def data_interface(self):
+        raise NotImplementedError("data_interface not set!")
+
+    # ------------------------------------------------------------------
+    # optimizer / params plumbing
+    # ------------------------------------------------------------------
+    def get_parameters(self):
+        return jax.tree_util.tree_leaves(self.params) if self.params else []
+
+    def set_optimizer(self, optimizer):
+        self.optimizer_spec = optimizer
+        if self.params is not None:
+            self._build_optimizer()
+
+    def set_lr_scheduler(self, lr_scheduler):
+        self.lr_scheduler_spec = lr_scheduler
+        self._build_lr_scheduler()
+
+    def _build_optimizer(self):
+        if self.optimizer_spec is None:
+            return
+        spec = self.optimizer_spec
+        if isinstance(spec, dict):
+            self.tx, self.base_lr = optim_lib.build_optimizer(**spec)
+        else:
+            self.tx, self.base_lr = spec
+        self.opt_state = self.tx.init(self.params)
+        self._build_lr_scheduler()
+        self._on_state_rebuilt()
+
+    def _build_lr_scheduler(self):
+        spec = self.lr_scheduler_spec
+        if self.tx is None:
+            return
+        if spec is None:
+            self.lr_scheduler = optim_lib.ConstantLR(self.base_lr)
+        elif isinstance(spec, dict):
+            self.lr_scheduler = optim_lib.build_lr_scheduler(
+                self.base_lr, **spec)
+        else:
+            self.lr_scheduler = spec
+
+    def _on_state_rebuilt(self):
+        """Hook for subclasses to drop cached jitted fns."""
+
+    def init_params(self, batch):
+        """Initialize model parameters from a sample batch (the reference's
+        'lazy init after a first forward pass', made explicit)."""
+        from nps_tpu.utils.seed import get_seed
+
+        u_base, u, x, cond, t_cond, spatial_cond = batch
+        tw = self.config.time_window
+        u0 = jnp.asarray(u[:, :, :tw])
+        key = jax.random.PRNGKey(get_seed())
+        self.params = jax.jit(self.model.init)(
+            key, u0, cond=jnp.asarray(cond), bc=None, pos=jnp.asarray(x),
+            t_cond=(jnp.asarray(t_cond[:, :, :tw])
+                    if t_cond.size else jnp.asarray(t_cond)),
+            spatial_cond=jnp.asarray(spatial_cond))
+        if self.sharding is not None:
+            from nps_tpu.parallel import replicate
+
+            self.params = replicate(self.params, self.mesh)
+        if self.optimizer_spec is not None and self.tx is None:
+            self._build_optimizer()
+        return self.params
+
+    def ensure_initialized(self, loader):
+        if self.params is None:
+            batch = next(iter(loader))
+            self.init_params(batch)
+        if self.tx is None and self.optimizer_spec is not None:
+            self._build_optimizer()
+
+    # ------------------------------------------------------------------
+    # data loading
+    # ------------------------------------------------------------------
+    def get_dataloaders(self):
+        if self.config.variable_time:
+            raise NotImplementedError(
+                "variable-time (D.sim1d_var_t) loading is not supported in "
+                "this build")
+        from nps_tpu.utils.seed import get_seed
+
+        kw = dict(batch_size=self.config.batch_size, shuffle=True,
+                  seed=get_seed())
+        return (HostDataLoader(self.data.train, **kw),
+                HostDataLoader(self.data.valid, **kw),
+                HostDataLoader(self.data.test, **kw))
+
+    # ------------------------------------------------------------------
+    # abstract step contract (parity: trainers/base.py:108-152)
+    # ------------------------------------------------------------------
+    def train_step(self, batch, epoch, batch_idx, loader):
+        """Consume one device batch; update (params, opt_state) in place;
+        return (loss_scalar, preds_or_None)."""
+        raise NotImplementedError("The method train_step should be implemented!")
+
+    def test_step(self, batch, batch_idx, use_train_loss_calc=False,
+                  include_data=False, **kwargs):
+        if include_data:
+            raise ValueError(
+                "include_data is only supported when implemented in test_step")
+        if not use_train_loss_calc:
+            raise NotImplementedError("The test_step method is not implemented!")
+        loss, _ = self.train_step(batch, epoch=0, batch_idx=batch_idx,
+                                  loader=None)
+        return loss, {}
+
+    def simulate(self, u, *args, **kwargs):
+        raise NotImplementedError("The method simulate is not implemented!")
+
+    def __call__(self):
+        self.train()
+
+    # ------------------------------------------------------------------
+    # training loop (parity: trainers/base.py:219-347)
+    # ------------------------------------------------------------------
+    def train(self):
+        assert self.model.model_interface in self.model_interface, \
+            f"{self} does not support model {self.model}."
+        assert self.data.data_interface in self.model.data_interface, \
+            f"{self.model} does not support data from {self.data}."
+        assert self.data.data_interface in self.data_interface, \
+            f"{self} does not support data from {self.data}."
+
+        train_loader, valid_loader, test_loader = self.get_dataloaders()
+        self.ensure_initialized(train_loader)
+
+        maybe_resumed = self.maybe_resume()
+        if maybe_resumed:
+            print(f"Resumed from checkpoint at epoch {self.start_epoch}")
+
+        if self.use_wandb:
+            wandb.init(config=self.wandb_config_dict, **(self.wandb_kwargs or {}))
+
+        fall_back = False
+        train_losses = []
+        min_val_loss = {name: float("inf") for name, _ in self.test_kwargs_list}
+        val_losses = {name: [] for name, _ in self.test_kwargs_list}
+        val_stats_list = {name: [] for name, _ in self.test_kwargs_list}
+        time_start = time.perf_counter()
+        samples_seen = 0
+
+        profile_dir = getattr(self.config, "profile_dir", None)
+
+        for epoch in range(self.start_epoch, self.config.num_epochs):
+            if profile_dir and epoch == self.start_epoch + 1:
+                jax.profiler.start_trace(profile_dir)
+            train_loss, n_samples = self.train_one_epoch(train_loader, epoch)
+            samples_seen += n_samples
+            train_losses.append(train_loss)
+            if profile_dir and epoch == self.start_epoch + 1:
+                jax.profiler.stop_trace()
+
+            if (epoch + 1) % self.config.print_interval == 0:
+                dt_total = time.perf_counter() - time_start
+                if (epoch + 1) % self.config.test_interval == 0:
+                    progress = 1.0
+                else:
+                    nxt = epoch + 1
+                    prev_test = nxt - nxt % self.config.test_interval
+                    progress = (epoch + 1 - prev_test) / self.config.test_interval
+                sps = samples_seen / max(dt_total, 1e-9)
+                print(f"Epoch {epoch} (progress: {progress:.2f}, "
+                      f"{dt_total:.4f}s, {sps:.1f} samples/s), "
+                      f"Loss {util.to_float(train_loss)}")
+                time_start = time.perf_counter()
+                samples_seen = 0
+
+            epoch_log = {"train_loss": util.to_float(train_loss)}
+            if (epoch + 1) % self.config.test_interval == 0:
+                for name, test_kwargs in self.test_kwargs_list:
+                    print(f"Evaluation on validation dataset for setting "
+                          f"[{name}]:")
+                    if callable(test_kwargs):
+                        val_loss, val_stats = test_kwargs(valid_loader, self)
+                    else:
+                        try:
+                            val_loss, val_stats = self.test(
+                                valid_loader, fall_back,
+                                test_kwargs=test_kwargs)
+                        except NotImplementedError:
+                            warnings.warn(
+                                "test_step not implemented; falling back to "
+                                "training loss for validation!")
+                            fall_back = True
+                            val_loss, val_stats = self.test(
+                                valid_loader, fall_back,
+                                test_kwargs=test_kwargs)
+                    val_loss = util.to_float(val_loss)
+                    print(f"Evaluation metric: {val_loss}")
+                    if not self.print_setting.get("print_per_step", False):
+                        val_stats = {k: v for k, v in val_stats.items()
+                                     if "step" not in k.lower()}
+                    stats_f = util.to_floatdict(val_stats)
+                    print(util.dict_str(stats_f, prefix="-"))
+                    print()
+
+                    epoch_log[name + " - val loss"] = val_loss
+                    for k, v in stats_f.items():
+                        epoch_log[name + "-" + str(k)] = v
+
+                    val_losses[name].append(val_loss)
+                    val_stats_list[name].append(val_stats)
+                    if val_loss < min_val_loss[name]:
+                        self.save_model(self.config.save_path + f"_{name}")
+                        min_val_loss[name] = val_loss
+                        print("Found new best model, evaluation on test "
+                              "dataset:")
+                        if callable(test_kwargs):
+                            test_loss, test_stats = test_kwargs(test_loader, self)
+                        else:
+                            test_loss, test_stats = self.test(
+                                test_loader, fall_back, test_kwargs=test_kwargs)
+                        print(f"Test metric: {util.to_float(test_loss)}")
+                        if not self.print_setting.get("print_per_step", False):
+                            test_stats = {k: v for k, v in test_stats.items()
+                                          if "step" not in k.lower()}
+                        print(util.dict_str(util.to_floatdict(test_stats),
+                                            prefix="-"))
+                        print()
+
+                ckpt_every = getattr(self.config, "checkpoint_interval",
+                                     self.config.test_interval)
+                if ckpt_every and (epoch + 1) % ckpt_every == 0:
+                    self.save_checkpoint(epoch + 1, min_val_loss)
+
+            if self.use_wandb:
+                wandb.log(epoch_log)
+
+        self.save_model(self.config.save_path + "_final")
+        if self.use_wandb:
+            wandb.finish()
+        return train_losses, val_losses, val_stats_list
+
+    def train_one_epoch(self, loader, epoch):
+        """Parity: ``trainers/base.py:472-507`` (+ device prefetch)."""
+        total_loss = jnp.zeros(())
+        n_batches = 0
+        n_samples = 0
+        it = prefetch_to_device(iter(loader), self.sharding)
+        for batch_idx, batch in enumerate(it):
+            loss, _ = self.train_step(batch, epoch, batch_idx, loader=loader)
+            bs = util.get_batch_size(batch)
+            total_loss = total_loss + loss / bs
+            n_batches += 1
+            n_samples += bs
+            if batch_idx >= self.max_train_batches:
+                break
+        total_loss = total_loss / len(loader)
+
+        if self.epoch_callback is not None:
+            self.epoch_callback(self, loader, epoch)
+
+        if self.lr_scheduler is not None and self.opt_state is not None:
+            if (epoch + 1) % self.config.lr_step_interval == 0:
+                self.lr_scheduler.step()
+                self.opt_state = optim_lib.set_learning_rate(
+                    self.opt_state, self.lr_scheduler.lr)
+        return float(total_loss), n_samples
+
+    # ------------------------------------------------------------------
+    # evaluation (parity: trainers/base.py:378-470)
+    # ------------------------------------------------------------------
+    def test(self, loader, use_train_loss_calc=False, include_data=False,
+             test_kwargs=None):
+        if test_kwargs is None:
+            test_kwargs = {}
+        self.ensure_initialized(loader)
+
+        loss = 0.0
+        other_metrics = {}
+        n_total = 0
+        data_gt, data_pred, data_other = [], [], []
+        it = prefetch_to_device(iter(loader), self.sharding)
+        for batch_idx, batch in enumerate(it):
+            out = self.test_step(batch, batch_idx, use_train_loss_calc,
+                                 include_data, **test_kwargs)
+            if include_data:
+                batch_loss, batch_metrics, batch_data = out
+            else:
+                batch_loss, batch_metrics = out
+            bs = util.get_batch_size(batch)
+            loss = loss + util.to_float(batch_loss) * bs
+            n_total += bs
+            for k, v in batch_metrics.items():
+                v = util.to_float(v) if not isinstance(v, dict) else v
+                if k in other_metrics:
+                    other_metrics[k] += v * bs
+                else:
+                    other_metrics[k] = v * bs
+            if include_data:
+                data_gt.append(np.asarray(batch_data[0]))
+                data_pred.append(np.asarray(batch_data[1]))
+                data_other.extend(batch_data[2])
+            if batch_idx >= self.max_test_batches - 1:
+                break
+        loss = loss / n_total
+        other_metrics = {k: v / n_total for k, v in other_metrics.items()}
+        if include_data:
+            data_gt = np.concatenate(data_gt, axis=0)
+            data_pred = np.concatenate(data_pred, axis=0)
+            return loss, other_metrics, (np.stack([data_gt, data_pred]),
+                                         data_other)
+        return loss, other_metrics
+
+    # ------------------------------------------------------------------
+    # model export + full checkpoint/resume
+    # ------------------------------------------------------------------
+    def save_model(self, save_name):
+        root, ext = os.path.splitext(save_name)
+        save_name = root + (ext or ".msgpack")
+        os.makedirs(os.path.dirname(save_name) or ".", exist_ok=True)
+        with open(save_name, "wb") as f:
+            f.write(flax.serialization.to_bytes(self.params))
+        print(f"Saved model at {save_name}")
+
+    def load_model(self, save_name):
+        with open(save_name, "rb") as f:
+            self.params = flax.serialization.from_bytes(self.params, f.read())
+
+    def _ckpt_path(self):
+        return self.config.save_path + "_checkpoint.pkl"
+
+    def save_checkpoint(self, epoch, min_val_loss=None):
+        """Full training state for preemption recovery (absent upstream)."""
+        import random as py_random
+
+        state = dict(
+            epoch=epoch,
+            params=jax.device_get(self.params),
+            opt_state=jax.device_get(self.opt_state),
+            lr_epoch=self.lr_scheduler.epoch if hasattr(
+                self.lr_scheduler, "epoch") else 0,
+            min_val_loss=min_val_loss or {},
+            np_random=np.random.get_state(),
+            py_random=py_random.getstate(),
+        )
+        path = self._ckpt_path()
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f)
+        os.replace(tmp, path)
+        print(f"Saved checkpoint at {path} (epoch {epoch})")
+
+    def maybe_resume(self):
+        import random as py_random
+
+        if not getattr(self.config, "resume", False):
+            return False
+        path = self._ckpt_path()
+        if not os.path.exists(path):
+            return False
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.params = jax.device_put(state["params"])
+        self.opt_state = jax.device_put(state["opt_state"])
+        self.start_epoch = state["epoch"]
+        if hasattr(self.lr_scheduler, "epoch"):
+            self.lr_scheduler.epoch = state["lr_epoch"]
+            self.opt_state = optim_lib.set_learning_rate(
+                self.opt_state, self.lr_scheduler.lr)
+        np.random.set_state(state["np_random"])
+        py_random.setstate(state["py_random"])
+        return True

@@ -1,0 +1,460 @@
+"""Autoregressive pushforward trainer — the concrete training strategy.
+
+Capability parity with ``src/trainers/autoregressivepushforwardtrainer.py``:
+
+- **train_step** (pushforward, extended from MP-Neural-PDE-Solvers): unroll
+  depth ramps with ``epoch // lr_step_interval`` capped at
+  ``config.unrolling`` then uniform-random per step (``:78-82``); a random
+  start step per batch element (``:95``); ``unrolled`` no-grad model steps
+  feeding predictions back as inputs with BC extraction / injection /
+  min-clipping between steps (``:115-144``); one final grad-tracked step;
+  loss = sqrt(sum-MSE) (``:162``).
+- **test_step**: one-step losses at every tw-strided start plus unrolled
+  full-trajectory losses (normalized by spatial cell count and rollout
+  length) and numerical-baseline comparison (``:165-286,442-514``).
+- **simulate**: the inference API — rollout from ``nr_gt_steps*tw``
+  ground-truth frames to ``t_res`` in tw-strided steps, with optional BC
+  injection from ``u_bc``, min clipping, loss and data collection
+  (``:288-440``).
+
+TPU-native design (not a translation):
+- the no-grad pushforward unroll is a ``lax.scan`` under ``stop_gradient``
+  (body compiled once regardless of depth);
+- ``simulate`` is a single ``lax.scan`` over the rollout with the prediction
+  window as the donated carry;
+- per-element random start steps are a vmapped ``dynamic_slice`` with traced
+  offsets drawn from ``jax.random``;
+- everything is jitted per static (unroll depth, batch size, t_res) and
+  cached; (params, opt_state) are donated so the optimizer updates in
+  place in HBM.
+"""
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nps_tpu.common.interfaces import D, M
+from nps_tpu.train.base import TrainInterface
+from nps_tpu.utils.process_output import process_step
+
+import random as py_random
+
+
+def window(u, steps, tw, mode):
+    """Per-element time windows via vmapped dynamic_slice.
+
+    u: [b, c, t, *sp]; steps: [b] int32. mode 'data' -> [step-tw, step),
+    'labels' -> [step, step+tw), 'both' -> both (one 2*tw slice, split).
+    Parity: ``common/data_creator.py:48-78``.
+    """
+    if mode == "both":
+        sl = jax.vmap(lambda ui, s: jax.lax.dynamic_slice_in_dim(
+            ui, s - tw, 2 * tw, axis=1))(u, steps)
+        return sl[:, :, :tw], sl[:, :, tw:]
+    if mode == "data":
+        return jax.vmap(lambda ui, s: jax.lax.dynamic_slice_in_dim(
+            ui, s - tw, tw, axis=1))(u, steps)
+    if mode == "labels":
+        return jax.vmap(lambda ui, s: jax.lax.dynamic_slice_in_dim(
+            ui, s, tw, axis=1))(u, steps)
+    raise ValueError(mode)
+
+
+def _opt(x):
+    """None-ify empty placeholder arrays ([b, 0] / size-0)."""
+    return None if (x is None or x.size == 0) else x
+
+
+class AutoregressivePushforwardTrainer(TrainInterface):
+    data_interface = [D.sim1d, D.sim2d, D.sim1d_var_t]
+    model_interface = [M.AR_TB]
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        config = self.config
+        self.tw = config.time_window
+        self.t_res = config.base_resolution[0]
+        if not hasattr(self.config, "process_settings"):
+            self.config.process_settings = {}
+        self._jit_cache = {}
+
+    def _on_state_rebuilt(self):
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+    # jitted step builders
+    # ------------------------------------------------------------------
+    def _apply(self, params, data, cond, bc, pos, t_cond, spatial_cond):
+        return self.model.apply(params, data, cond=cond, bc=bc, pos=pos,
+                                t_cond=t_cond, spatial_cond=spatial_cond)
+
+    def _precision(self):
+        return getattr(self.config, "matmul_precision", None)
+
+    def _jit(self, key, builder):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = builder()
+        return self._jit_cache[key]
+
+    def _make_train_step(self, unrolled, batch_size, t_res):
+        pde = self.data.pde
+        mi = self.model.model_interface
+        ps = dict(self.config.process_settings)
+        tw = self.tw
+        criterion = self.criterion
+        tx = self.tx
+        precision = self._precision()
+
+        def step_fn(params, opt_state, u_super, x, cond, t_cond,
+                    spatial_cond, key):
+            cond_, t_cond_, sc_ = _opt(cond), _opt(t_cond), _opt(spatial_cond)
+
+            def t_window(steps):
+                return (window(t_cond_, steps, tw, "labels")
+                        if t_cond_ is not None else None)
+
+            def loss_fn(params):
+                # random start step per batch element (:95)
+                steps0 = jax.random.randint(
+                    key, (batch_size,), tw,
+                    t_res - tw - tw * unrolled + 1, dtype=jnp.int32)
+                data, labels = window(u_super, steps0, tw, "both")
+                _, bc = process_step(pde, mi, data, data, labels,
+                                     get_bc=True, set_bc=False, set_min=False,
+                                     process_settings=ps)
+
+                # pushforward: `unrolled` no-grad steps via lax.scan (:115-144)
+                def body(carry, _):
+                    data, labels, bc, steps = carry
+                    pred = self._apply(params, data, cond_, bc, x,
+                                       t_window(steps), sc_)
+                    pred = jax.lax.stop_gradient(pred)
+                    labels_prev = labels
+                    steps = steps + tw
+                    labels = window(u_super, steps, tw, "labels")
+                    data, bc = process_step(pde, mi, pred, labels_prev, labels,
+                                            get_bc=True, set_bc=True,
+                                            set_min=True, process_settings=ps)
+                    return (data, labels, bc, steps), None
+
+                carry = (data, labels, bc, steps0)
+                if unrolled > 0:
+                    carry, _ = jax.lax.scan(body, carry, None, length=unrolled)
+                data, labels, bc, steps = carry
+
+                # final grad-tracked step (:146-155)
+                pred = self._apply(params, data, cond_, bc, x,
+                                   t_window(steps), sc_)
+                pred, _ = process_step(pde, mi, pred, labels, None,
+                                       get_bc=False, set_bc=True, set_min=True,
+                                       process_settings=ps)
+                return jnp.sqrt(criterion(pred, labels))  # loss (:161-162)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss
+
+        def traced(params, opt_state, *args):
+            with jax.default_matmul_precision(precision) if precision else \
+                    _nullcontext():
+                return step_fn(params, opt_state, *args)
+
+        return jax.jit(step_fn if precision is None else traced,
+                       donate_argnums=(0, 1))
+
+    def _make_test_step(self, batch_size, t_res, has_base):
+        pde = self.data.pde
+        mi = self.model.model_interface
+        ps = dict(self.config.process_settings)
+        tw = self.tw
+        criterion = self.criterion
+        spatial_cells = math.prod(self.config.base_resolution[1:])
+        steps_list = list(range(tw, t_res - tw + 1, tw))
+
+        def fn(params, u_base, u_super, x, cond, t_cond, spatial_cond):
+            cond_, t_cond_, sc_ = _opt(cond), _opt(t_cond), _opt(spatial_cond)
+            u_base_ = _opt(u_base)
+
+            # one-step losses at tw-strided starts (:217-266)
+            step_losses = []
+            for step in steps_list:
+                data = u_super[:, :, step - tw:step]
+                labels = u_super[:, :, step:step + tw]
+                _, bc = process_step(pde, mi, data, data, labels, get_bc=True,
+                                     set_bc=False, set_min=False,
+                                     process_settings=ps)
+                tc = (t_cond_[:, :, step:step + tw]
+                      if t_cond_ is not None else None)
+                pred = self._apply(params, data, cond_, bc, x, tc, sc_)
+                pred, _ = process_step(pde, mi, pred, labels, None,
+                                       get_bc=False, set_bc=True, set_min=True,
+                                       process_settings=ps)
+                step_losses.append(criterion(pred, labels) / batch_size)
+            step_losses = jnp.stack(step_losses)
+
+            # unrolled rollout losses (:442-514)
+            unrolled_losses = self._simulate_scan(
+                params, u_super, cond_, x, t_cond_, sc_,
+                nr_gt_steps=self.config.nr_gt_steps, t_res=t_res,
+                compute_loss=True, include_data=False, use_bc=True,
+                clip_min=True, divide_by_t=True, batch_size=batch_size)
+            unrolled_sum = jnp.sum(unrolled_losses)
+
+            # numerical-baseline losses (:476-496)
+            if has_base:
+                base_losses = []
+                n_t = 0
+                for step in range(tw * self.config.nr_gt_steps,
+                                  t_res - tw + 1, tw):
+                    lab_s = u_super[:, :, step:step + tw]
+                    lab_b = u_base_[:, :, step:step + tw]
+                    base_losses.append(
+                        criterion(lab_s, lab_b) / spatial_cells / batch_size)
+                    n_t += tw
+                base_sum = jnp.sum(jnp.stack(base_losses)) / max(n_t, 1)
+            else:
+                base_sum = jnp.zeros(())
+
+            return dict(
+                step_losses=step_losses,
+                mean_step_loss=jnp.mean(step_losses),
+                unrolled_losses=unrolled_sum,
+                unrolled_base_losses=base_sum,
+            )
+
+        return jax.jit(fn)
+
+    # the scan core shared by test_step and the public simulate()
+    def _simulate_scan(self, params, u, cond, x, t_cond, spatial_cond,
+                       nr_gt_steps, t_res, compute_loss, include_data,
+                       use_bc, clip_min, divide_by_t, batch_size, u_bc=None,
+                       u_mask=None):
+        pde = self.data.pde
+        mi = self.model.model_interface
+        ps = dict(self.config.process_settings)
+        tw = self.tw
+        criterion = self.criterion
+        spatial_cells = math.prod(self.config.base_resolution[1:])
+        steps_list = list(range(tw * nr_gt_steps, t_res - tw + 1, tw))
+        n_t = tw * len(steps_list)
+        if u_bc is None:
+            u_bc = u
+
+        pred0 = u[:, :, tw * nr_gt_steps - tw: tw * nr_gt_steps]
+        bc0 = u_bc[:, :, tw * nr_gt_steps - tw: tw * nr_gt_steps]
+
+        # static tw-strided windows stacked for the scan
+        labels_seq = (jnp.stack([u[:, :, s:s + tw] for s in steps_list])
+                      if compute_loss else None)
+        bc_seq = jnp.stack([u_bc[:, :, s:s + tw] for s in steps_list]) \
+            if use_bc else None
+        tc_seq = (jnp.stack([t_cond[:, :, s:s + tw] for s in steps_list])
+                  if t_cond is not None else None)
+        mask_seq = (jnp.stack([u_mask[:, :, s:s + tw] for s in steps_list])
+                    if u_mask is not None else None)
+
+        def body(carry, xs):
+            pred, bc_prev_win = carry
+            labels_t, bc_t, tc_t, mask_t = xs
+            if use_bc:
+                _, bc = process_step(pde, mi, pred, bc_prev_win, bc_t,
+                                     get_bc=True, set_bc=False, set_min=False,
+                                     process_settings=ps)
+                bc_next_win = bc_t
+            else:
+                bc, bc_next_win = None, bc_prev_win
+            pred = self._apply(params, pred, cond, bc, x, tc_t, spatial_cond)
+            if mask_t is not None and compute_loss:
+                pred = pred * mask_t
+                labels_t = labels_t * mask_t
+            if use_bc:
+                pred, _ = process_step(pde, mi, pred, bc_t, None, get_bc=False,
+                                       set_bc=True, set_min=False,
+                                       process_settings=ps)
+            if clip_min:
+                pred, _ = process_step(pde, mi, pred, None, None, get_bc=False,
+                                       set_bc=False, set_min=True,
+                                       process_settings=ps)
+            outs = []
+            if compute_loss:
+                loss = criterion(pred, labels_t) / spatial_cells / batch_size
+                outs.append(loss)
+            if include_data:
+                outs.append(pred)
+            return (pred, bc_next_win), tuple(outs)
+
+        n = len(steps_list)
+        zeros = jnp.zeros((n,))
+        xs = (labels_seq if labels_seq is not None else zeros,
+              bc_seq if bc_seq is not None else zeros,
+              tc_seq if tc_seq is not None else zeros,
+              mask_seq if mask_seq is not None else zeros)
+
+        # re-wrap: scan needs structured xs; replace placeholders with None
+        def body_wrap(carry, xs):
+            labels_t = xs[0] if compute_loss else None
+            bc_t = xs[1] if use_bc else None
+            tc_t = xs[2] if tc_seq is not None else None
+            mask_t = xs[3] if mask_seq is not None else None
+            return body(carry, (labels_t, bc_t, tc_t, mask_t))
+
+        (_, _), outs = jax.lax.scan(body_wrap, (pred0, bc0), xs)
+        result = {}
+        i = 0
+        if compute_loss:
+            losses = outs[i]
+            i += 1
+            if divide_by_t:
+                losses = losses / n_t
+            result["losses"] = losses
+        if include_data:
+            result["preds"] = outs[i]
+        if compute_loss and include_data:
+            result["labels_seq"] = labels_seq
+        if not include_data:
+            return result["losses"]
+        return result
+
+    # ------------------------------------------------------------------
+    # public step API (parity signatures)
+    # ------------------------------------------------------------------
+    def train_step(self, batch, epoch, batch_idx, loader):
+        if self.data.data_interface == D.sim1d_var_t:
+            raise NotImplementedError("variable-time training not supported")
+        u_base, u_super, x, cond, t_cond, spatial_cond = batch
+        t_res = int(u_super.shape[2]) if hasattr(u_super, "shape") else self.t_res
+        batch_size = u_super.shape[0]
+
+        # unroll ramp + uniform-random depth (host RNG; :78-82)
+        unrolling_epoch = epoch // self.config.lr_step_interval
+        max_unrolling = min(unrolling_epoch, self.config.unrolling)
+        unrolled = py_random.choice(list(range(max_unrolling + 1)))
+
+        fn = self._jit(("train", unrolled, batch_size, t_res),
+                       lambda: self._make_train_step(unrolled, batch_size,
+                                                     t_res))
+        from nps_tpu.utils.seed import get_seed
+
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(get_seed()), epoch),
+            batch_idx)
+        self.params, self.opt_state, loss = fn(
+            self.params, self.opt_state, u_super, x, cond, t_cond,
+            spatial_cond, key)
+        return loss, None
+
+    def test_step(self, batch, batch_idx, use_train_loss_calc=False,
+                  include_data=False, max_test_len=None):
+        if use_train_loss_calc:
+            raise RuntimeError(
+                "use_train_loss_calc=True is unexpected: test_step is "
+                "implemented")
+        u_base, u_super, x, cond, t_cond, spatial_cond = batch
+        t_res = int(u_super.shape[2])
+        if max_test_len is not None:
+            t_res = min(max_test_len, t_res)
+        batch_size = int(u_super.shape[0])
+        has_base = u_base is not None and u_base.size > 0
+
+        fn = self._jit(("test", batch_size, t_res, has_base, False),
+                       lambda: self._make_test_step(batch_size, t_res,
+                                                    has_base))
+        out = fn(self.params, u_base, u_super, x, cond, t_cond, spatial_cond)
+
+        tw = self.tw
+        steps_list = list(range(tw, t_res - tw + 1, tw))
+        step_losses = np.asarray(out["step_losses"])
+        info = {
+            "Unrolled base losses": float(out["unrolled_base_losses"]),
+            "Unrolled forward losses": float(out["unrolled_losses"]),
+            "Mean per-step loss": float(out["mean_step_loss"]),
+        }
+        for s, v in zip(steps_list, step_losses):
+            info[f"Step {s}, mean loss"] = float(v)
+
+        main_loss = float(out["unrolled_losses"])
+        if include_data:
+            sim = self.simulate(
+                u_super, cond, x, compute_loss=True, include_data=True,
+                nr_gt_steps=self.config.nr_gt_steps, t_res=t_res,
+                t_conditioning=t_cond, spatial_conditioning=spatial_cond,
+                divide_by_t=True)
+            _, (data_gt, data_pred) = sim
+            data_other = [{} for _ in range(batch_size)]
+            return main_loss, info, (data_gt, data_pred, data_other)
+        return main_loss, info
+
+    def simulate(self, u, conditioning, x, compute_loss, include_data,
+                 nr_gt_steps, t_res, t_conditioning=None,
+                 spatial_conditioning=None, clip_min=True, use_bc=True,
+                 u_bc=None, u_mask=None, divide_by_t=True):
+        """Rollout inference API (parity: ``:288-440``); returns numpy."""
+        u = jnp.asarray(u)
+        batch_size = int(u.shape[0])
+        tw = self.tw
+        if compute_loss and u.shape[2] < t_res:
+            raise ValueError("Cannot compute loss if no ground-truth "
+                             "simulation is provided for the full rollout")
+        if u.shape[2] < nr_gt_steps * tw:
+            raise ValueError("The data is shorter than nr_gt_steps*tw")
+        if u_mask is not None and not compute_loss:
+            raise ValueError("Mask supplied but compute_loss=False!")
+
+        cond_ = _opt(jnp.asarray(conditioning)
+                     if conditioning is not None else None)
+        t_cond_ = _opt(jnp.asarray(t_conditioning)
+                       if t_conditioning is not None else None)
+        sc_ = _opt(jnp.asarray(spatial_conditioning)
+                   if spatial_conditioning is not None else None)
+
+        res = self._simulate_scan(
+            self.params, u, cond_, jnp.asarray(x), t_cond_, sc_,
+            nr_gt_steps=nr_gt_steps, t_res=t_res, compute_loss=compute_loss,
+            include_data=include_data, use_bc=use_bc, clip_min=clip_min,
+            divide_by_t=divide_by_t, batch_size=batch_size,
+            u_bc=jnp.asarray(u_bc) if u_bc is not None else None,
+            u_mask=jnp.asarray(u_mask) if u_mask is not None else None)
+
+        if not include_data:
+            return [l for l in np.asarray(res)]
+
+        def frames(seq):
+            # [n_steps, b, c, tw, *sp] -> [b, c, n_steps*tw, *sp]
+            seq = np.asarray(seq)
+            seq = np.moveaxis(seq, 0, 2)  # [b, c, n_steps, tw, *sp]
+            return seq.reshape(seq.shape[:2] + (-1,) + seq.shape[4:])
+
+        pred0 = np.asarray(u[:, :, tw * nr_gt_steps - tw: tw * nr_gt_steps])
+        data_pred = np.concatenate([pred0, frames(res["preds"])], axis=2)
+        if compute_loss:
+            data_gt = np.concatenate([pred0, frames(res["labels_seq"])], axis=2)
+            losses = [l for l in np.asarray(res["losses"])]
+            return losses, (data_gt, data_pred)
+        return data_pred
+
+    def _test_unrolled_losses(self, batch, include_data=False,
+                              max_test_len=None, divide_by_t=True):
+        u_base, u_super, x, cond, t_cond, spatial_cond = batch
+        t_res = int(u_super.shape[2])
+        out = self.simulate(
+            u_super, cond, x, compute_loss=True, include_data=include_data,
+            nr_gt_steps=self.config.nr_gt_steps, t_res=t_res,
+            t_conditioning=t_cond, spatial_conditioning=spatial_cond,
+            divide_by_t=divide_by_t)
+        if include_data:
+            losses, (data_gt, data_pred) = out
+            return (float(np.sum(losses)), 0.0,
+                    [data_gt, data_pred, [{} for _ in range(u_super.shape[0])]])
+        return float(np.sum(out)), 0.0
+
+
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False

@@ -1,0 +1,109 @@
+"""End-to-end trainer tests on a synthetic twophase-shaped dataset."""
+
+import numpy as np
+import pytest
+import jax
+
+import nps_tpu.models as models
+from nps_tpu.data.synthetic import generate
+from nps_tpu.data.pde2d import PDE2DDataset
+from nps_tpu.models.activations import GELU, Tanh
+from nps_tpu.train import (AutoregressivePushforwardTrainer, build_criterion)
+
+TW = 5
+NT = 41
+NX1, NX2 = 24, 16
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("twophase")
+    generate(str(d), n_sims=8, n_channels=3, nt=NT, nx1=NX1, nx2=NX2, seed=1)
+    return PDE2DDataset(
+        base_path=str(d.parent), experiment=d.name, data_format="memmap",
+        data_file="snapshots", conditioning="conditioning",
+        spatial_conditioning="spatial_conditioning", split_file="split",
+        c_filter=[2], name="twophase")
+
+
+@pytest.fixture(scope="module")
+def trainer(dataset):
+    model = models.activation_wrapper(
+        model_class="EncProcDec", activation_final=Tanh(),
+        enforce_spatial_cond=True, spatial_cond_channel=0,
+        approx_volume_preserve=True,
+        approx_volume_preserve_mode="individual_static", max_pct_dif=1 / TW,
+        num_c=1, num_spatial_dims=2, time_window=TW,
+        encoder="enc_grid.ElementWise", activation=GELU(),
+        processor="DilatedResnet", kernel_size=3, hidden_blocks=1,
+        hidden_features=16, padding_mode="circular",
+        decoder="dec_grid.TimeConvDense", dec_delta_mode="per_step",
+        pde=dataset.pde)
+    criterion = build_criterion(object="nn.MSELoss", reduction="sum")
+    tr = AutoregressivePushforwardTrainer(
+        model=model, data=dataset, criterion=criterion,
+        optimizer=dict(object="optim.Adam", lr=1e-3),
+        lr_scheduler=dict(object="optim.lr_scheduler.MultiStepLR",
+                          milestones=[1, 5], gamma=0.4),
+        save_path="/tmp/nps_tpu_test/model",
+        time_window=TW, base_resolution=(NT, NX1, NX2),
+        super_resolution=(NT, NX1, NX2), device="cpu", batch_size=4,
+        nr_gt_steps=1, nw=0, num_epochs=2, lr_step_interval=1, unrolling=1,
+        print_interval=1, test_interval=2, process_settings={},
+        print_setting=dict(print_per_step=True))
+    return tr
+
+
+def test_training_decreases_loss(trainer):
+    train_losses, val_losses, val_stats = trainer.train()
+    assert len(train_losses) == 2
+    assert all(np.isfinite(l) for l in train_losses)
+    # pushforward ramp: epoch 1 uses unroll depth in {0, 1}
+    assert len(val_losses["default"]) == 1
+    stats = val_stats["default"][0]
+    assert "Unrolled forward losses" in stats
+    assert "Mean per-step loss" in stats
+    assert np.isfinite(stats["Unrolled forward losses"])
+
+
+def test_lr_schedule_applied(trainer):
+    # after 2 epochs with lr_step_interval=1 and milestones [1, 5] gamma .4:
+    # scheduler stepped twice -> counter 2 -> one milestone crossed
+    assert np.isclose(trainer.lr_scheduler.lr, 1e-3 * 0.4)
+    hp = trainer.opt_state.hyperparams["learning_rate"]
+    assert np.isclose(float(hp), 1e-3 * 0.4)
+
+
+def test_simulate_rollout(trainer, dataset):
+    batch = next(iter(trainer.get_dataloaders()[1]))
+    u_base, u, x, cond, t_cond, sc = batch
+    losses, (gt, pred) = trainer.simulate(
+        u, cond, x, compute_loss=True, include_data=True, nr_gt_steps=1,
+        t_res=NT, t_conditioning=t_cond, spatial_conditioning=sc)
+    n_steps = len(range(TW, NT - TW + 1, TW))
+    assert len(losses) == n_steps
+    assert pred.shape == (u.shape[0], 1, TW + n_steps * TW, NX1, NX2)
+    assert gt.shape == pred.shape
+    assert np.isfinite(pred).all()
+
+
+def test_checkpoint_resume(trainer, dataset):
+    trainer.save_checkpoint(epoch=2)
+    params_before = jax.device_get(trainer.params)
+    trainer.config.resume = True
+    trainer.config.num_epochs = 3
+    assert trainer.maybe_resume()
+    assert trainer.start_epoch == 2
+    after = jax.device_get(trainer.params)
+    for a, b in zip(jax.tree_util.tree_leaves(params_before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_model_export_and_reload(trainer):
+    trainer.save_model("/tmp/nps_tpu_test/export_test")
+    p0 = jax.device_get(trainer.params)
+    trainer.load_model("/tmp/nps_tpu_test/export_test.msgpack")
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(jax.device_get(trainer.params))):
+        np.testing.assert_array_equal(a, b)
