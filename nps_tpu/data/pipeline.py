@@ -66,9 +66,13 @@ def device_put_batch(batch, sharding=None):
     """
     if sharding is None:
         return jax.device_put(batch)
+    n_shards = len(sharding.mesh.devices.flat)
     out = []
     for a in batch:
-        if a.ndim == 0 or a.shape[0] == 0 or a.size == 0:
+        if (a.ndim == 0 or a.shape[0] == 0 or a.size == 0
+                or a.shape[0] % n_shards != 0):
+            # remainder batches (batch % n_devices != 0) stay unsharded —
+            # one extra jit specialization, correct metrics weighting
             out.append(jax.device_put(a))
         else:
             out.append(jax.device_put(a, sharding))

@@ -19,8 +19,9 @@ The block mixing step can be routed through a Pallas kernel
 (``nps_tpu.ops.pallas.spectral_mix``) via ``mix_impl='pallas'``.
 """
 
-from functools import partial
+from functools import lru_cache, partial
 
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -51,8 +52,127 @@ def _complex_mix(blk, w, film=None, film_mode=1, precision=None):
     return yr + 1j * yi
 
 
+@lru_cache(maxsize=None)
+def _dft_mats_fwd(n, m):
+    """Truncated forward DFT factors: e^{-2pi i k x / n} for k < m.
+    Returns (cos, sin) as [n, m] float32."""
+    k = np.arange(m)
+    x = np.arange(n)
+    ang = 2.0 * np.pi * np.outer(x, k) / n
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+@lru_cache(maxsize=None)
+def _dft_mats_fwd_rows(n, m):
+    """Forward DFT factors for the low+high row blocks: k in
+    [0..m-1] u [n-m..n-1]. Returns (cos, sin) as [n, 2m]."""
+    ks = np.concatenate([np.arange(m), np.arange(n - m, n)])
+    x = np.arange(n)
+    ang = 2.0 * np.pi * np.outer(x, ks) / n
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+@lru_cache(maxsize=None)
+def _dft_mats_inv_half(n, m):
+    """Inverse factors for the rfft (half-spectrum) axis with Hermitian
+    doubling: weight 1 for k=0, 2 for 0<k<n/2. Returns (cos, sin) [m, n]."""
+    k = np.arange(m)
+    y = np.arange(n)
+    w = np.where((k == 0) | ((n % 2 == 0) & (k == n // 2)), 1.0, 2.0)[:, None]
+    ang = 2.0 * np.pi * np.outer(k, y) / n
+    return ((w * np.cos(ang)).astype(np.float32),
+            (w * np.sin(ang)).astype(np.float32))
+
+
+@lru_cache(maxsize=None)
+def _dft_mats_inv_rows(n, m):
+    """Inverse factors for the full-spectrum row axis at the retained
+    low+high blocks. Returns (cos, sin) [2m, n]."""
+    ks = np.concatenate([np.arange(m), np.arange(n - m, n)])
+    x = np.arange(n)
+    ang = 2.0 * np.pi * np.outer(ks, x) / n
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def _spectral_conv_2d_dft(x, weights, modes, film, film_mode, precision):
+    """FFT-free truncated spectral conv: the rfft2 -> corner-block complex
+    mix -> irfft2 pipeline collapsed into small dense DFT contractions.
+
+    With m1, m2 << n1, n2 (e.g. 10 modes on a 128^2 grid) the full FFT
+    wastes HBM bandwidth materializing [b, n1, n2/2+1, c] complex
+    spectra that are immediately truncated / zero-filled. Computing only
+    the retained modes as matmuls keeps all work on the MXU:
+        forward:  X[k1,k2] = sum_{x,y} e^{-2pi i(k1 x/n1)} e^{-2pi i(k2 y/n2)} u[x,y]
+        inverse:  u[x,y]   = 1/(n1 n2) * Re sum_{k1,k2} w(k2) e^{+...} Y[k1,k2]
+    Mathematically identical to the reference's rfft2/irfft2 formulation.
+    """
+    m1, m2 = modes
+    b, n1, n2, ci = x.shape
+    co = weights[0].shape[2]
+    ein = partial(jnp.einsum, preferred_element_type=jnp.float32,
+                  precision=precision)
+
+    c2, s2 = (jnp.asarray(a) for a in _dft_mats_fwd(n2, m2))
+    c1, s1 = (jnp.asarray(a) for a in _dft_mats_fwd_rows(n1, m1))
+
+    # stage A: contract the rfft axis (y) -> m2 modes
+    re2 = ein("bxyc,ym->bxmc", x, c2)
+    im2 = -ein("bxyc,ym->bxmc", x, s2)
+    # stage B: contract rows (x) -> 2*m1 retained row modes
+    # e^{-i t}(re + i im) = (re cos + im sin) + i (im cos - re sin)
+    x_re = ein("bxmc,xk->bkmc", re2, c1) + ein("bxmc,xk->bkmc", im2, s1)
+    x_im = ein("bxmc,xk->bkmc", im2, c1) - ein("bxmc,xk->bkmc", re2, s1)
+
+    # complex per-mode channel mix on the stacked blocks [b, 2m1, m2, *]
+    w = jnp.concatenate([weights[0], weights[1]], axis=3)  # [2, i, o, 2m1, m2]
+    wr, wi = w[0], w[1]
+    mix = partial(jnp.einsum, "bkmi,iokm->bkmo",
+                  preferred_element_type=jnp.float32, precision=precision)
+    y_re = mix(x_re, wr) - mix(x_im, wi)
+    y_im = mix(x_re, wi) + mix(x_im, wr)
+    if film is not None:
+        f = jnp.moveaxis(film[:, :, :2 * m1, :m2], 1, -1)
+        if film_mode == 0:
+            f = 1.0 + f
+        y_re = y_re * f
+        y_im = y_im * f
+
+    # inverse: half axis (y) with Hermitian doubling, then row axis (x)
+    ic2, is2 = (jnp.asarray(a) for a in _dft_mats_inv_half(n2, m2))
+    ic1, is1 = (jnp.asarray(a) for a in _dft_mats_inv_rows(n1, m1))
+    # e^{+i t}(re + i im) = (re cos - im sin) + i (re sin + im cos)
+    t_re = ein("bkmo,my->bkyo", y_re, ic2) - ein("bkmo,my->bkyo", y_im, is2)
+    t_im = ein("bkmo,my->bkyo", y_re, is2) + ein("bkmo,my->bkyo", y_im, ic2)
+    out = ein("bkyo,kx->bxyo", t_re, ic1) - ein("bkyo,kx->bxyo", t_im, is1)
+    return out / (n1 * n2)
+
+
+def _spectral_conv_1d_dft(x, weights, modes, film, film_mode, precision):
+    (m1,) = modes
+    b, n1, ci = x.shape
+    ein = partial(jnp.einsum, preferred_element_type=jnp.float32,
+                  precision=precision)
+    c1, s1 = (jnp.asarray(a) for a in _dft_mats_fwd(n1, m1))
+    x_re = ein("bxc,xm->bmc", x, c1)
+    x_im = -ein("bxc,xm->bmc", x, s1)
+    w = weights[0]
+    mix = partial(jnp.einsum, "bmi,iom->bmo",
+                  preferred_element_type=jnp.float32, precision=precision)
+    y_re = mix(x_re, w[0]) - mix(x_im, w[1])
+    y_im = mix(x_re, w[1]) + mix(x_im, w[0])
+    if film is not None:
+        f = jnp.moveaxis(film[:, :, :m1], 1, -1)
+        if film_mode == 0:
+            f = 1.0 + f
+        y_re = y_re * f
+        y_im = y_im * f
+    ic1, is1 = (jnp.asarray(a) for a in _dft_mats_inv_half(n1, m1))
+    out = ein("bmo,mx->bxo", y_re, ic1) - ein("bmo,mx->bxo", y_im, is1)
+    return out / n1
+
+
 def spectral_conv_nd(x, weights, modes, film=None, film_mode=1,
-                     num_spatial_dims=None, mix_impl="xla", precision=None):
+                     num_spatial_dims=None, mix_impl="dft", precision=None):
     """Apply a mode-truncated spectral conv.
 
     Args:
@@ -73,6 +193,18 @@ def spectral_conv_nd(x, weights, modes, film=None, film_mode=1,
     sp = x.shape[1:1 + nd]
     b = x.shape[0]
     co = weights[0].shape[2]
+
+    if mix_impl == "dft":
+        # FFT-free path (default): exact truncated-DFT matmuls on the MXU
+        x32 = x.astype(jnp.float32)
+        if nd == 1:
+            return _spectral_conv_1d_dft(x32, weights, modes, film, film_mode,
+                                         precision)
+        if nd == 2:
+            assert 2 * modes[0] <= sp[0], "mode blocks overlap the spectrum"
+            return _spectral_conv_2d_dft(x32, weights, modes, film, film_mode,
+                                         precision)
+        mix_impl = "xla"  # 3D falls back to the FFT path
 
     x32 = x.astype(jnp.float32)
     xf = jnp.fft.rfftn(x32, axes=sp_axes)  # complex64, half spectrum on last sp dim

@@ -6,3 +6,6 @@ from nps_tpu.utils.misc import (  # noqa: F401
 )
 from nps_tpu.utils.isclose_iter import isclose_iter  # noqa: F401
 from nps_tpu.utils.io import load_yaml, load_memmap  # noqa: F401
+from nps_tpu.utils.broadcast import broadcast_to_grid  # noqa: F401
+from nps_tpu.utils.slice_batch import index_batch, handle_item  # noqa: F401
+from nps_tpu.utils.running_stats import RunningStats  # noqa: F401

@@ -286,3 +286,27 @@ def test_gelu_matches_torch_exact(rng):
     ref = F.gelu(torch.tensor(x)).numpy()
     out = np.asarray(GELU()(jnp.array(x)))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("impl", ["dft", "xla"])
+def test_spectral_conv_impls_agree(rng, impl):
+    b, ci, co, n1, n2, m1, m2 = 2, 3, 4, 16, 12, 4, 7  # m2 = n2//2+1 (Nyquist)
+    x = rng.standard_normal((b, n1, n2, ci), dtype=np.float32)
+    ws = [jnp.array(rng.random((2, ci, co, m1, m2)), dtype=jnp.float32) * 0.1
+          for _ in range(2)]
+    ref = jax.jit(lambda x: spectral_conv_nd(x, ws, (m1, m2),
+                                             mix_impl="xla"))(x)
+    out = jax.jit(lambda x: spectral_conv_nd(x, ws, (m1, m2),
+                                             mix_impl=impl))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spectral_conv_1d_dft_vs_xla(rng):
+    b, ci, co, n1, m1 = 2, 3, 4, 32, 17  # m1 = n1//2+1 incl Nyquist
+    x = rng.standard_normal((b, n1, ci), dtype=np.float32)
+    ws = [jnp.array(rng.random((2, ci, co, m1)), dtype=jnp.float32) * 0.1]
+    ref = jax.jit(lambda x: spectral_conv_nd(x, ws, (m1,), mix_impl="xla"))(x)
+    out = jax.jit(lambda x: spectral_conv_nd(x, ws, (m1,), mix_impl="dft"))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
