@@ -18,9 +18,9 @@ import time
 
 import numpy as np
 
-# torch reference, same step/shape, this host's CPU (see BASELINE.md);
-# None -> not yet measured
-REFERENCE_SAMPLES_PER_SEC = None
+# torch reference, same step/shape, this host's CPU (1 vCPU; measured by
+# tools/bench_reference_torch.py on 2026-08-16, see BASELINE.md)
+REFERENCE_SAMPLES_PER_SEC = 0.030
 
 TW = 25
 NX = 128
@@ -29,13 +29,16 @@ UNROLLED = 1
 T_RES = TW * (UNROLLED + 2) + 1
 
 
-def build_step():
+def build_step(compute_dtype="bfloat16"):
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _build_model, _example_batch
+    from nps_tpu.models.config import set_compute_dtype
     from nps_tpu.train.losses import build_criterion
     from nps_tpu.train.optim import build_optimizer
+
+    set_compute_dtype(compute_dtype)
 
     model, pde = _build_model(NX, NX, TW)
     u, cond, sc, pos = _example_batch(BATCH, TW, NX, NX, pde)
@@ -80,12 +83,13 @@ def main():
 
     step, params, opt_state, (u_traj, cond, sc, pos) = build_step()
 
-    # warmup / compile
+    # warmup / compile; NOTE: block_until_ready is unreliable on the axon
+    # platform -- force a host readback to synchronize
     for i in range(2):
         key = jax.random.PRNGKey(i)
         params, opt_state, loss = step(params, opt_state, u_traj, cond, sc,
                                        pos, key)
-    loss.block_until_ready()
+    float(loss)
 
     n_steps = 20
     t0 = time.perf_counter()
@@ -93,7 +97,7 @@ def main():
         key = jax.random.PRNGKey(100 + i)
         params, opt_state, loss = step(params, opt_state, u_traj, cond, sc,
                                        pos, key)
-    loss.block_until_ready()
+    float(loss)  # synchronize
     dt = time.perf_counter() - t0
 
     sps = n_steps * BATCH / dt

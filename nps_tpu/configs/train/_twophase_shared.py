@@ -58,6 +58,7 @@ def make_trainer(base_args):
         # TPU-native extensions (inert on the reference workloads):
         data_parallel=False,
         matmul_precision=None,
+        compute_dtype=None,
         resume=False,
     )
 

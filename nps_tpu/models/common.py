@@ -25,7 +25,17 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from nps_tpu.models import initializers as init
+from nps_tpu.models import config as model_config
 from nps_tpu.models.activations import resolve_activation
+
+
+def group_norm(x, num_groups, name=None):
+    """GroupNorm with f32 statistics regardless of the activation dtype
+    (torch eps=1e-5); output returned in the input's dtype."""
+    orig = x.dtype
+    y = nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, name=name)(
+        x.astype(jnp.float32))
+    return y.astype(orig)
 
 
 def _tuple(v, n):
@@ -138,17 +148,21 @@ class ConvND(nn.Module):
             raise ValueError(f"Unsupported padding_mode {self.padding_mode!r}")
 
         dn = lax_conv_dims(nd)
-        dtype = self.dtype or x.dtype
+        dtype = self.dtype or model_config.compute_dtype() or x.dtype
+        # in bf16 mode the conv emits bf16 (the MXU still accumulates f32 in
+        # hardware); forcing preferred_element_type=f32 would break the VJP
+        # with mixed-dtype cotangents
+        preferred = jnp.float32 if dtype == jnp.float32 else None
         y = jax.lax.conv_general_dilated(
             x.astype(dtype), kernel.astype(dtype),
             window_strides=s, padding=pad, rhs_dilation=d,
             dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=preferred,
         )
         if self.use_bias:
             bias = self.param("bias", init.fan_in_bias_init(fan_in),
                               (self.features,), jnp.float32)
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -190,20 +204,21 @@ class ConvTransposeND(nn.Module):
 
         w = jnp.flip(kernel, axis=tuple(range(nd)))
         dn = lax_conv_dims(nd)
-        dtype = self.dtype or x.dtype
+        dtype = self.dtype or model_config.compute_dtype() or x.dtype
+        preferred = jnp.float32 if dtype == jnp.float32 else None
         y = jax.lax.conv_general_dilated(
             x.astype(dtype), w.astype(dtype),
             window_strides=(1,) * nd,
             padding=[(ki - 1, ki - 1) for ki in k],
             lhs_dilation=s,
             dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=preferred,
         )
         if self.use_bias:
             fan_in = int(np.prod(k)) * self.features
             bias = self.param("bias", init.fan_in_bias_init(fan_in),
                               (self.features,), jnp.float32)
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -225,12 +240,15 @@ class Dense(nn.Module):
         in_ch = x.shape[-1]
         kernel = self.param("kernel", init.linear_kernel_init(),
                             (in_ch, self.features), jnp.float32)
-        y = jnp.einsum("...i,io->...o", x, kernel,
-                       preferred_element_type=jnp.float32)
+        dtype = model_config.compute_dtype() or x.dtype
+        preferred = jnp.float32 if dtype == jnp.float32 else None
+        y = jnp.einsum("...i,io->...o", x.astype(dtype),
+                       kernel.astype(dtype),
+                       preferred_element_type=preferred)
         if self.use_bias:
             bias = self.param("bias", init.fan_in_bias_init(in_ch),
                               (self.features,), jnp.float32)
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 

@@ -54,15 +54,18 @@ class DilatedResnet(nn.Module):
     padding_mode: str = "zeros"
     num_spatial_dims: int = 1
     n_cond: int = 0
+    remat: bool = True  # rematerialize per block in the backward pass
 
     @nn.compact
     def __call__(self, h, variables_broadcast=None, pos=None):
+        BlockCls = (nn.remat(DilatedResnetBlock) if self.remat
+                    else DilatedResnetBlock)
         for b in range(self.hidden_blocks):
             if variables_broadcast is not None:
                 enc_input = jnp.concatenate([h, variables_broadcast], axis=-1)
             else:
                 enc_input = h
-            block = DilatedResnetBlock(
+            block = BlockCls(
                 num_spatial_dims=self.num_spatial_dims,
                 hidden_features_in=self.hidden_features + self.n_cond,
                 kernel_size=self.kernel_size,

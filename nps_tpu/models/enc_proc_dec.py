@@ -214,6 +214,12 @@ class EncProcDec(nn.Module):
         else:
             vb = (jnp.moveaxis(spatial_cond, 1, -1)
                   if spatial_cond is not None else None)
+        if vb is not None:
+            # keep the cond grid in the compute dtype so concats downstream
+            # don't silently promote bf16 activations back to f32
+            from nps_tpu.models import config as model_config
+
+            vb = model_config.cast_compute(vb)
 
         pos_cl = pos  # dataset grids are already channels-last [b, *sp, nd]
 

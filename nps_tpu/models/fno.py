@@ -146,6 +146,7 @@ class FNO(nn.Module):
     fno_conv_mode: str = "single"
     padding_mode: str = "circular"
     mix_impl: str = "xla"
+    remat: bool = True  # rematerialize per layer in the backward pass
 
     @nn.compact
     def __call__(self, h, variables=None, variables_broadcast=None, pos=None):
@@ -155,9 +156,10 @@ class FNO(nn.Module):
         hidden_in = (self.hidden_features + self.n_cond
                      if self.cond_mode == "concat" else self.hidden_features)
         pm = self.padding_mode if self.padding_mode != "ones" else "zeros"
+        LayerCls = nn.remat(FNO_Layer) if self.remat else FNO_Layer
 
         for i in range(self.hidden_blocks):
-            layer = FNO_Layer(
+            layer = LayerCls(
                 hidden_dim=hidden_in, hidden_dim_out=self.hidden_features,
                 num_spatial_dims=self.num_spatial_dims, modes=self.fno_modes,
                 feature_transform=film, feature_transform_dim=self.n_cond,

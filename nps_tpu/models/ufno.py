@@ -43,6 +43,10 @@ class UFNO(nn.Module):
     n_blocks: int = 1
     use1x1: bool = True
     mix_impl: str = "xla"
+    # rematerialize each (spectral + U-Net) block in the backward pass:
+    # trades ~1/3 extra FLOPs for O(1)-block activation memory, which is
+    # what lets full-size U-FNO training fit HBM at 128^2+ (SURVEY.md §7)
+    remat: bool = True
 
     @nn.compact
     def __call__(self, h, variables=None, variables_broadcast=None, pos=None):
@@ -53,16 +57,18 @@ class UFNO(nn.Module):
         hidden_in = (self.hidden_features + self.n_cond
                      if self.cond_mode == "concat" else self.hidden_features)
         pm = self.padding_mode if self.padding_mode != "ones" else "zeros"
+        FNOLayerCls = nn.remat(FNO_Layer) if self.remat else FNO_Layer
+        UNetCls = nn.remat(UNetModern) if self.remat else UNetModern
 
         for i in range(self.hidden_blocks):
-            fno_layer = FNO_Layer(
+            fno_layer = FNOLayerCls(
                 hidden_dim=hidden_in, hidden_dim_out=self.hidden_features,
                 num_spatial_dims=self.num_spatial_dims, modes=self.fno_modes,
                 feature_transform=film, feature_transform_dim=self.n_cond,
                 kernel_size=self.fno_kernel_size, conv_mode=self.fno_conv_mode,
                 padding_mode=pm, activation=None, mix_impl=self.mix_impl,
                 name=f"fno_layers_{i}")
-            unet = UNetModern(
+            unet = UNetCls(
                 pde=self.pde, num_spatial_dims=self.num_spatial_dims,
                 n_cond=self.n_cond, hidden_features=self.hidden_features,
                 cond_mode=self.cond_mode, activation=self.activation,

@@ -27,7 +27,8 @@ from flax import linen as nn
 
 from nps_tpu.common.interfaces import D, M
 from nps_tpu.models.activations import resolve_activation
-from nps_tpu.models.common import (ConvND, ConvTransposeND, Dense, crop_nd)
+from nps_tpu.models.common import (ConvND, ConvTransposeND, Dense, crop_nd,
+                                   group_norm)
 
 
 def _padding_kwargs(padding_mode):
@@ -58,8 +59,7 @@ class ResidualBlock(nn.Module):
 
         def norm_layer(name):
             if self.norm:
-                return nn.GroupNorm(num_groups=self.n_groups, epsilon=1e-5,
-                                    name=name)
+                return lambda v: group_norm(v, self.n_groups, name=name)
             return lambda v: v
 
         h = ConvND(self.out_channels, 3, nd, name="conv1", **pk)(
@@ -324,7 +324,7 @@ class UNetModern(nn.Module):
                 idx += 1
 
         if self.norm:
-            h = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="norm")(h)
+            h = group_norm(h, 8, name="norm")
         h = act(h)
         if self.use1x1:
             h = ConvND(self.hidden_features, 1, nd, padding="valid",

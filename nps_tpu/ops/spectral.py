@@ -106,12 +106,21 @@ def _spectral_conv_2d_dft(x, weights, modes, film, film_mode, precision):
         inverse:  u[x,y]   = 1/(n1 n2) * Re sum_{k1,k2} w(k2) e^{+...} Y[k1,k2]
     Mathematically identical to the reference's rfft2/irfft2 formulation.
     """
+    from nps_tpu.models import config as model_config
+
     m1, m2 = modes
     b, n1, n2, ci = x.shape
     co = weights[0].shape[2]
-    ein = partial(jnp.einsum, preferred_element_type=jnp.float32,
-                  precision=precision)
+    dt = model_config.compute_dtype() or jnp.float32
 
+    preferred = jnp.float32 if dt == jnp.float32 else None
+
+    def ein(eq, a, b_):
+        return jnp.einsum(eq, a.astype(dt), b_.astype(dt),
+                          preferred_element_type=preferred,
+                          precision=precision)
+
+    x = x.astype(dt)
     c2, s2 = (jnp.asarray(a) for a in _dft_mats_fwd(n2, m2))
     c1, s1 = (jnp.asarray(a) for a in _dft_mats_fwd_rows(n1, m1))
 
@@ -126,14 +135,13 @@ def _spectral_conv_2d_dft(x, weights, modes, film, film_mode, precision):
     # complex per-mode channel mix on the stacked blocks [b, 2m1, m2, *]
     w = jnp.concatenate([weights[0], weights[1]], axis=3)  # [2, i, o, 2m1, m2]
     wr, wi = w[0], w[1]
-    mix = partial(jnp.einsum, "bkmi,iokm->bkmo",
-                  preferred_element_type=jnp.float32, precision=precision)
+    mix = partial(ein, "bkmi,iokm->bkmo")
     y_re = mix(x_re, wr) - mix(x_im, wi)
     y_im = mix(x_re, wi) + mix(x_im, wr)
     if film is not None:
-        f = jnp.moveaxis(film[:, :, :2 * m1, :m2], 1, -1)
+        f = jnp.moveaxis(film[:, :, :2 * m1, :m2], 1, -1).astype(dt)
         if film_mode == 0:
-            f = 1.0 + f
+            f = (1.0 + f).astype(dt)
         y_re = y_re * f
         y_im = y_im * f
 

@@ -74,6 +74,12 @@ class TrainInterface(metaclass=ABCMeta):
         self.test_kwargs_list = getattr(self.config, "test_kwargs_list",
                                         [("default", {})])
 
+        cd = getattr(self.config, "compute_dtype", None)
+        if cd:
+            from nps_tpu.models.config import set_compute_dtype
+
+            set_compute_dtype(cd)
+
         # ---- functional training state ----
         self.params = None
         self.opt_state = None
