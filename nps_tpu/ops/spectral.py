@@ -202,6 +202,16 @@ def spectral_conv_nd(x, weights, modes, film=None, film_mode=1,
     b = x.shape[0]
     co = weights[0].shape[2]
 
+    if mix_impl == "pallas" and nd == 2 and film is None:
+        # fused single-kernel path (VMEM-resident; forward kernel + DFT vjp)
+        from nps_tpu.ops.pallas.spectral_dft import spectral_dft_conv_2d_pallas
+
+        assert 2 * modes[0] <= sp[0], "mode blocks overlap the spectrum"
+        w = jnp.concatenate([weights[0], weights[1]], axis=3)
+        return spectral_dft_conv_2d_pallas(x, w[0], w[1], tuple(modes))
+    if mix_impl == "pallas":
+        mix_impl = "dft"  # unsupported pallas cases fall back
+
     if mix_impl == "dft":
         # FFT-free path (default): exact truncated-DFT matmuls on the MXU
         x32 = x.astype(jnp.float32)

@@ -135,3 +135,57 @@ def test_forward_parity(name):
     err = np.max(np.abs(out - ref_out))
     denom = np.max(np.abs(ref_out)) + 1e-12
     assert err / denom < 1e-4, f"max abs err {err} (rel {err / denom})"
+
+
+def test_rollout_parity_ufno():
+    """Multi-step autoregressive rollout parity: feed predictions back as
+    inputs for several bundled steps (the regime where error compounds;
+    BASELINE.md requires agreement within 1e-3)."""
+    import copy
+
+    ref_models, _ = load_reference()
+    pde, ref_pde = make_pdes()
+    cfg = model_cfg("ufno")
+    cfg_ref = {**copy.deepcopy(cfg), "activation": cfg["activation"]}
+    cfg = {**copy.deepcopy(cfg), "activation": cfg["activation"]}
+    u, cond, sc = make_inputs(b=1, seed=3)
+    pos = np.broadcast_to(np.asarray(pde.x, np.float32)[None],
+                          (1, NX1, NX2, 2)).copy()
+
+    torch.manual_seed(0)
+    ref_model = ref_models.activation_wrapper(**cfg_ref, **WRAPPER_CFG,
+                                              pde=ref_pde)
+    ref_model.eval()
+    n_steps = 4
+    with torch.no_grad():
+        pred_t = torch.tensor(u)
+        for _ in range(n_steps):
+            pred_t = ref_model(pred_t, cond=torch.tensor(cond), bc=None,
+                               pos=torch.tensor(pos), t_cond=None,
+                               spatial_cond=torch.tensor(sc))
+        ref_out = pred_t.numpy()
+
+    my_model = models.activation_wrapper(**cfg, **WRAPPER_CFG, pde=pde)
+    params = convert_state_dict(ref_model.state_dict())
+    params = jax.tree_util.tree_map(jnp.asarray,
+                                    {"params": {"inner": params["params"]}})
+
+    with jax.default_matmul_precision("highest"):
+        @jax.jit
+        def roll(params, u):
+            def body(pred, _):
+                pred = my_model.apply(params, pred, cond=cond, pos=pos,
+                                      spatial_cond=sc)
+                return pred, None
+            pred, _ = jax.lax.scan(body, u, None, length=n_steps)
+            return pred
+
+        out = np.asarray(roll(params, jnp.asarray(u)))
+
+    denom = np.abs(ref_out).max() + 1e-12
+    err = np.abs(out - ref_out).max()
+    # nRMSE-style metric over the rollout
+    nrmse = np.sqrt(np.mean((out - ref_out) ** 2)) / (np.sqrt(
+        np.mean(ref_out ** 2)) + 1e-12)
+    assert nrmse < 1e-3, f"rollout nRMSE {nrmse}"
+    assert err / denom < 5e-3, f"rollout max rel err {err / denom}"
