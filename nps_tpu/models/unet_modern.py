@@ -22,6 +22,7 @@ fuse the conv stacks).
 
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -93,6 +94,14 @@ class AttentionBlock(nn.Module):
         c = x.shape[-1]
         assert c == self.in_channels
         d_k = self.d_k or self.in_channels
+
+        # the reference defines a GroupNorm here but never applies it
+        # (proc_unet_modern.py:276 vs :292-317); materialize the unused
+        # params so torch checkpoints with attention transplant cleanly
+        # (XLA dead-code-eliminates the computation)
+        _ = nn.GroupNorm(num_groups=self.n_groups, epsilon=1e-5,
+                         name="norm")(jax.lax.stop_gradient(
+                             x.astype(jnp.float32)))
 
         h = x.reshape(b, -1, c)  # [b, seq, c]
         qkv = Dense(self.n_heads * d_k * 3, name="projection")(h)
