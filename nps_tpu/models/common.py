@@ -17,16 +17,29 @@ Design notes (TPU-first, not a port):
   (mode='wrap') + VALID conv.
 """
 
-from typing import Any, Callable, Sequence, Tuple, Union
+from typing import Any, Sequence, Union
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from flax import linen as nn
 
 from nps_tpu.models import initializers as init
 from nps_tpu.models import config as model_config
 from nps_tpu.models.activations import resolve_activation
+
+
+def resolve_remat_policy(policy):
+    """None -> full remat; 'save_conv_outputs' -> keep conv results and only
+    recompute the cheap elementwise ops in the backward pass."""
+    if policy is None:
+        return None
+    if policy == "save_conv_outputs":
+        return jax.checkpoint_policies.save_only_these_names("conv_out")
+    if callable(policy):
+        return policy
+    raise ValueError(f"Unknown remat policy {policy!r}")
 
 
 def group_norm(x, num_groups, name=None):
@@ -163,7 +176,9 @@ class ConvND(nn.Module):
             bias = self.param("bias", init.fan_in_bias_init(fan_in),
                               (self.features,), jnp.float32)
             y = y + bias.astype(y.dtype)
-        return y
+        # named for remat policies: "save conv outputs, recompute the cheap
+        # elementwise ops" (see processors' remat_policy)
+        return checkpoint_name(y, "conv_out")
 
 
 class ConvTransposeND(nn.Module):

@@ -30,7 +30,6 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from nps_tpu.common.interfaces import D, M
 from nps_tpu.utils.attr import getattr_nested
 from nps_tpu.utils.broadcast import broadcast_to_grid_last
 

@@ -45,8 +45,11 @@ class UFNO(nn.Module):
     mix_impl: str = "xla"
     # rematerialize each (spectral + U-Net) block in the backward pass:
     # trades ~1/3 extra FLOPs for O(1)-block activation memory, which is
-    # what lets full-size U-FNO training fit HBM at 128^2+ (SURVEY.md §7)
+    # what lets full-size U-FNO training fit HBM at 128^2+ (SURVEY.md §7).
+    # remat_policy "save_conv_outputs" keeps conv results (the expensive
+    # recomputes) and only recomputes elementwise/norm/concat work.
     remat: bool = True
+    remat_policy: Any = None
 
     @nn.compact
     def __call__(self, h, variables=None, variables_broadcast=None, pos=None):
@@ -57,8 +60,14 @@ class UFNO(nn.Module):
         hidden_in = (self.hidden_features + self.n_cond
                      if self.cond_mode == "concat" else self.hidden_features)
         pm = self.padding_mode if self.padding_mode != "ones" else "zeros"
-        FNOLayerCls = nn.remat(FNO_Layer) if self.remat else FNO_Layer
-        UNetCls = nn.remat(UNetModern) if self.remat else UNetModern
+        from nps_tpu.models.common import resolve_remat_policy
+
+        policy = resolve_remat_policy(self.remat_policy)
+        if self.remat:
+            FNOLayerCls = nn.remat(FNO_Layer, policy=policy)
+            UNetCls = nn.remat(UNetModern, policy=policy)
+        else:
+            FNOLayerCls, UNetCls = FNO_Layer, UNetModern
 
         for i in range(self.hidden_blocks):
             fno_layer = FNOLayerCls(

@@ -20,7 +20,7 @@ Python lists (fixed architecture -> fully unrolled under jit, letting XLA
 fuse the conv stacks).
 """
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -11,11 +11,9 @@ This module provides the building blocks; wiring them through the full
 model is a later-round milestone (SURVEY.md §7 step 8).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 

@@ -80,6 +80,13 @@ class TrainInterface(metaclass=ABCMeta):
 
             set_compute_dtype(cd)
 
+        # debug-mode knobs (SURVEY.md §5 "race detection/sanitizers" slot):
+        # structural determinism is native to JAX; NaN tracing is opt-in
+        if getattr(self.config, "debug_nans", False):
+            jax.config.update("jax_debug_nans", True)
+        if getattr(self.config, "enable_checks", False):
+            jax.config.update("jax_enable_checks", True)
+
         # ---- functional training state ----
         self.params = None
         self.opt_state = None

@@ -30,7 +30,6 @@ TPU-native design (not a translation):
 """
 
 import math
-from functools import partial
 
 import numpy as np
 import jax
