@@ -49,8 +49,8 @@ class MemMapDataset:
                  spatial_conditioning_transform=None, data_format="memmap",
                  dtype=np.float32, preprocess=False, preprocess_path=None,
                  load_all=False, **_ignored):
-        assert data_format == "memmap", \
-            "this build stores fixed-length snapshots as numpy memmaps"
+        assert data_format in ("memmap", "raggedmemmap"), \
+            "data format must be memmap (fixed) or raggedmemmap (variable)"
         self.dtype = dtype
         self.data_format = data_format
         self.return_baseline = baseline_file is not None
@@ -70,11 +70,11 @@ class MemMapDataset:
                                      else None),
         }
 
-        self.preprocess = preprocess and any(
-            v is not None for v in self.transforms.values())
+        self.preprocess = (preprocess and data_format == "memmap" and
+                           any(v is not None for v in self.transforms.values()))
         if preprocess and not self.preprocess:
-            print("Overriding preprocess to False, since no transforms were "
-                  "specified")
+            print("Overriding preprocess to False (no transforms specified, "
+                  "or ragged storage -> transforms stay lazy)")
         if self.preprocess:
             self.preprocess_dir = preprocess_path or os.path.join(path, "tmp")
             os.makedirs(self.preprocess_dir, exist_ok=True)
@@ -143,7 +143,7 @@ class MemMapDataset:
             self._finalizer()
 
     def __len__(self):
-        return self.data["data"].shape[0]
+        return len(self.data["data"])
 
     def _get_role(self, role, idx):
         if role not in self.data:

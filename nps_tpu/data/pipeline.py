@@ -104,3 +104,50 @@ def prefetch_to_device(iterator, sharding=None, size=2):
                 raise err[0]
             return
         yield item
+
+
+class VariableTimeLoader:
+    """Loader for D.sim1d_var_t: a batch sampler picks element groups; the
+    collate crops every element to the batch minimum (train, random window)
+    or pads to the maximum (eval), both rounded to time_window multiples,
+    and returns the lengths (parity: ``trainers/base.py:180-216`` +
+    ``utils/collate_batch_helpers.py``)."""
+
+    def __init__(self, dataset, batch_sampler, mode="min", time_window=25):
+        from nps_tpu.utils.collate import collate_batch_sim
+
+        self.dataset = dataset
+        self.batch_sampler = batch_sampler
+        self.mode = mode
+        self.tw = time_window
+        self._collate_u = collate_batch_sim(t_dim=1, mode=mode,
+                                            tw=time_window)
+
+    def __len__(self):
+        return len(self.batch_sampler)
+
+    def __iter__(self):
+        for idxs in self.batch_sampler:
+            els = [self.dataset[int(i)] for i in idxs]
+            u_base = [e[0] for e in els]
+            u = [e[1] for e in els]
+            xs = np.stack([e[2] for e in els]).astype(np.float32)
+            cond = [e[3] for e in els]
+            t_cond = [e[4] for e in els]
+            sc = [e[5] for e in els]
+
+            lengths = np.array([el.shape[1] for el in u], np.int32)
+            u = self._collate_u(u).astype(np.float32)
+            u_base = (self._collate_u(u_base).astype(np.float32)
+                      if sum(e.size for e in u_base) else
+                      np.zeros((len(els), 0), np.float32))
+            t_cond = (self._collate_u(t_cond).astype(np.float32)
+                      if sum(e.size for e in t_cond) else
+                      np.zeros((len(els), 0), np.float32))
+            cond = (np.stack(cond).astype(np.float32)
+                    if sum(e.size for e in cond) else
+                    np.zeros((len(els), 0), np.float32))
+            sc = (np.stack(sc).astype(np.float32)
+                  if sum(e.size for e in sc) else
+                  np.zeros((len(els), 0), np.float32))
+            yield u_base, u, xs, cond, t_cond, sc, lengths

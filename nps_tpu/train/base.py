@@ -182,7 +182,7 @@ class TrainInterface(metaclass=ABCMeta):
         'lazy init after a first forward pass', made explicit)."""
         from nps_tpu.utils.seed import get_seed
 
-        u_base, u, x, cond, t_cond, spatial_cond = batch
+        u_base, u, x, cond, t_cond, spatial_cond = batch[:6]
         tw = self.config.time_window
         u0 = jnp.asarray(u[:, :, :tw])
         key = jax.random.PRNGKey(get_seed())
@@ -210,11 +210,33 @@ class TrainInterface(metaclass=ABCMeta):
     # data loading
     # ------------------------------------------------------------------
     def get_dataloaders(self):
-        if self.config.variable_time:
-            raise NotImplementedError(
-                "variable-time (D.sim1d_var_t) loading is not supported in "
-                "this build")
         from nps_tpu.utils.seed import get_seed
+
+        if self.config.variable_time:
+            # parity: trainers/base.py:180-216 — batch sampler + min-crop
+            # collate for training, max-pad for evaluation
+            from nps_tpu.data.pipeline import VariableTimeLoader
+            from nps_tpu.data.samplers import VariableTimeBatchSampler
+
+            sampler_cfg = dict(getattr(self.config, "sampler", {}) or {})
+            sampler_cfg.pop("object", None)
+            sampler_cfg.setdefault("time_window", self.config.time_window)
+            sampler_cfg.setdefault("max_unrolling",
+                                   getattr(self.config, "unrolling", 0))
+            with_repl = sampler_cfg.pop("with_replacement", True)
+            tw = self.config.time_window
+            bs = self.config.batch_size
+
+            def mk(split, mode, wr):
+                sampler = VariableTimeBatchSampler(
+                    split, batch_size=bs, with_replacement=wr,
+                    seed=get_seed(), **sampler_cfg)
+                return VariableTimeLoader(split, sampler, mode=mode,
+                                          time_window=tw)
+
+            return (mk(self.data.train, "min", with_repl),
+                    mk(self.data.valid, "max", False),
+                    mk(self.data.test, "max", False))
 
         kw = dict(batch_size=self.config.batch_size, shuffle=True,
                   seed=get_seed())

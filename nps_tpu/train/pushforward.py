@@ -165,7 +165,7 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         return jax.jit(step_fn if precision is None else traced,
                        donate_argnums=(0, 1))
 
-    def _make_test_step(self, batch_size, t_res, has_base):
+    def _make_test_step(self, batch_size, t_res, has_base, use_mask=False):
         pde = self.data.pde
         mi = self.model.model_interface
         ps = dict(self.config.process_settings)
@@ -174,7 +174,7 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         spatial_cells = math.prod(self.config.base_resolution[1:])
         steps_list = list(range(tw, t_res - tw + 1, tw))
 
-        def fn(params, u_base, u_super, x, cond, t_cond, spatial_cond):
+        def fn(params, u_base, u_super, x, cond, t_cond, spatial_cond, mask):
             cond_, t_cond_, sc_ = _opt(cond), _opt(t_cond), _opt(spatial_cond)
             u_base_ = _opt(u_base)
 
@@ -189,6 +189,10 @@ class AutoregressivePushforwardTrainer(TrainInterface):
                 tc = (t_cond_[:, :, step:step + tw]
                       if t_cond_ is not None else None)
                 pred = self._apply(params, data, cond_, bc, x, tc, sc_)
+                if use_mask:
+                    m_w = mask[:, :, step:step + tw]
+                    pred = pred * m_w
+                    labels = labels * m_w
                 pred, _ = process_step(pde, mi, pred, labels, None,
                                        get_bc=False, set_bc=True, set_min=True,
                                        process_settings=ps)
@@ -200,7 +204,8 @@ class AutoregressivePushforwardTrainer(TrainInterface):
                 params, u_super, cond_, x, t_cond_, sc_,
                 nr_gt_steps=self.config.nr_gt_steps, t_res=t_res,
                 compute_loss=True, include_data=False, use_bc=True,
-                clip_min=True, divide_by_t=True, batch_size=batch_size)
+                clip_min=True, divide_by_t=True, batch_size=batch_size,
+                u_mask=mask if use_mask else None)
             unrolled_sum = jnp.sum(unrolled_losses)
 
             # numerical-baseline losses (:476-496)
@@ -323,15 +328,23 @@ class AutoregressivePushforwardTrainer(TrainInterface):
     # ------------------------------------------------------------------
     def train_step(self, batch, epoch, batch_idx, loader):
         if self.data.data_interface == D.sim1d_var_t:
-            raise NotImplementedError("variable-time training not supported")
-        u_base, u_super, x, cond, t_cond, spatial_cond = batch
-        t_res = int(u_super.shape[2]) if hasattr(u_super, "shape") else self.t_res
-        batch_size = u_super.shape[0]
+            # variable-time: min-cropped batch; unroll depth from the batch
+            # sampler (parity: :67-69, :83-85)
+            u_base, u_super, x, cond, t_cond, spatial_cond, _lengths = batch
+            t_res = int(u_super.shape[2])
+            batch_size = u_super.shape[0]
+            unrolled = (loader.batch_sampler.get_t_batch(batch_idx)
+                        if loader is not None else 0)
+        else:
+            u_base, u_super, x, cond, t_cond, spatial_cond = batch
+            t_res = (int(u_super.shape[2]) if hasattr(u_super, "shape")
+                     else self.t_res)
+            batch_size = u_super.shape[0]
 
-        # unroll ramp + uniform-random depth (host RNG; :78-82)
-        unrolling_epoch = epoch // self.config.lr_step_interval
-        max_unrolling = min(unrolling_epoch, self.config.unrolling)
-        unrolled = py_random.choice(list(range(max_unrolling + 1)))
+            # unroll ramp + uniform-random depth (host RNG; :78-82)
+            unrolling_epoch = epoch // self.config.lr_step_interval
+            max_unrolling = min(unrolling_epoch, self.config.unrolling)
+            unrolled = py_random.choice(list(range(max_unrolling + 1)))
 
         fn = self._jit(("train", unrolled, batch_size, t_res),
                        lambda: self._make_train_step(unrolled, batch_size,
@@ -352,17 +365,31 @@ class AutoregressivePushforwardTrainer(TrainInterface):
             raise RuntimeError(
                 "use_train_loss_calc=True is unexpected: test_step is "
                 "implemented")
-        u_base, u_super, x, cond, t_cond, spatial_cond = batch
+        mask = None
+        if self.data.data_interface == D.sim1d_var_t:
+            # max-padded batch: mask invalid frames (parity: :191-199)
+            from nps_tpu.utils.collate import create_data_mask
+
+            u_base, u_super, x, cond, t_cond, spatial_cond, lengths = batch
+            lengths = [int(v) for v in np.asarray(lengths)]
+            if max_test_len is not None:
+                lengths = [min(max_test_len, v) for v in lengths]
+            mask = jnp.asarray(create_data_mask(
+                np.zeros(u_super.shape, np.float32), lengths))
+        else:
+            u_base, u_super, x, cond, t_cond, spatial_cond = batch
         t_res = int(u_super.shape[2])
         if max_test_len is not None:
             t_res = min(max_test_len, t_res)
         batch_size = int(u_super.shape[0])
         has_base = u_base is not None and u_base.size > 0
 
-        fn = self._jit(("test", batch_size, t_res, has_base, False),
+        fn = self._jit(("test", batch_size, t_res, has_base, mask is not None),
                        lambda: self._make_test_step(batch_size, t_res,
-                                                    has_base))
-        out = fn(self.params, u_base, u_super, x, cond, t_cond, spatial_cond)
+                                                    has_base,
+                                                    use_mask=mask is not None))
+        out = fn(self.params, u_base, u_super, x, cond, t_cond, spatial_cond,
+                 mask)
 
         tw = self.tw
         steps_list = list(range(tw, t_res - tw + 1, tw))

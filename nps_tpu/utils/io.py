@@ -29,7 +29,7 @@ def load_memmap(data_format, data_dir, load_name):
         return np.lib.format.open_memmap(
             os.path.join(data_dir, load_name + ".npy"), mode="r")
     if data_format == "raggedmemmap":
-        raise NotImplementedError(
-            "ragged (variable-length) memmaps are not supported in this build; "
-            "store fixed-length snapshots ('memmap') instead")
+        from nps_tpu.data.ragged import RaggedMemmap
+
+        return RaggedMemmap(os.path.join(data_dir, load_name))
     raise ValueError(f"data format {data_format} not supported")
