@@ -1,0 +1,113 @@
+"""Stretch config: 2D Navier-Stokes-scale turbulence at 512^2, data-parallel
+U-FNO (BASELINE.json configs list: "new: 2D Navier-Stokes turbulence at
+512^2, data-parallel U-FNO across a v5p-16").
+
+Beyond the reference's workloads: batch sharded over the full device mesh
+('data' axis), bf16 activations, per-block rematerialization. Generate a
+synthetic dataset at this shape with:
+
+    python -m nps_tpu.data.synthetic --out $DATAROOT/ns512 \
+        --n-sims 64 --n-channels 1 --nt 101 --nx1 512 --nx2 512
+
+Spatial-domain sharding (halo exchange) for single-simulation scale-out is
+the round-2 extension (nps_tpu/parallel/spatial.py holds the building
+blocks).
+"""
+
+from nps_tpu.configs.parse_component import load_config_modules, compose_config
+from nps_tpu.configs.parse import parse_arg_default  # noqa: F401 (flag types)
+from nps_tpu.configs.train.defaults import base
+from nps_tpu.configs.parse_component import parse_base
+from nps_tpu.models.activations import GELU, Tanh
+
+base_args_dict = {**base.default, **dict(
+    base_resolution=(101, 512, 512),
+    super_resolution=(101, 512, 512),
+    experiment="ns512",
+    time_window=25,
+    batch_size=8,
+)}
+base_args, parser = parse_base(base_args_dict)
+
+dataset = dict(
+    object="PDE2DDataset",
+    base_path=base_args.data_path,
+    experiment=base_args.experiment,
+    split_file="split",
+    data_format="memmap",
+    data_file="snapshots",
+    conditioning="conditioning",
+    spatial_conditioning="spatial_conditioning",
+    name="ns512",
+    preprocess=False,
+    c_filter=[0],
+)
+
+trainer = dict(
+    object="AutoregressivePushforwardTrainer",
+    neighbors=3,
+    time_window=base_args.time_window,
+    base_resolution=base_args.base_resolution,
+    super_resolution=base_args.super_resolution,
+    device="tpu",
+    batch_size=base_args.batch_size,
+    nr_gt_steps=1,
+    nw=0,
+    num_epochs=500,
+    lr_step_interval=25,
+    unrolling=4,
+    print_interval=4,
+    test_interval=25,
+    max_train_batches=float("inf"),
+    max_test_batches=float("inf"),
+    print_setting=dict(print_per_step=False),
+    process_settings={},
+    data_parallel=True,
+    matmul_precision=None,
+    compute_dtype="bfloat16",
+    resume=True,
+)
+
+model = dict(
+    object="activation_wrapper",
+    activation_final=Tanh(),
+    enforce_spatial_cond=False,
+    spatial_cond_channel=0,
+    approx_volume_preserve=False,
+    approx_volume_preserve_mode="individual_static",
+    max_pct_dif=1 / 25,
+    model_class="EncProcDec",
+    num_c=1,
+    num_spatial_dims=2,
+    time_window=base_args.time_window,
+    data_structure="grid",
+    processor_residual=False,
+    encoder="enc_grid.ElementWise",
+    activation=GELU(),
+    processor="UFNO",
+    fno_modes=20,
+    hidden_blocks=3,
+    hidden_features=128,
+    fno_kernel_size=1,
+    fno_conv_mode="single",
+    padding_mode="circular",
+    ch_mults=[1, 1, 1],
+    is_attn=[False for _ in range(3)],
+    mid_attn=False,
+    norm=True,
+    use1x1=True,
+    remat=True,
+    decoder="dec_grid.TimeConvDense",
+    dec_delta_mode="per_step",
+)
+
+_, optimizer, lr_scheduler, _, criterion, _ = load_config_modules(base_args)
+
+compose_config(parser,
+               base_args=base_args,
+               dataset=dataset,
+               optimizer=optimizer.Adam,
+               lr_scheduler=lr_scheduler.MultiStepLR,
+               model=model,
+               criterion=criterion.MSE_sum,
+               trainer=trainer)

@@ -89,3 +89,17 @@ def test_missing_config_raises():
             parse_args()
     finally:
         sys.argv = old
+
+
+def test_ns512_stretch_config():
+    old = sys.argv
+    try:
+        sys.argv = ["prog", "-C", "nps_tpu/configs/train/cfg_ns512_ufno.py"]
+        args = parse_args()
+    finally:
+        sys.argv = old
+    assert args["trainer"]["base_resolution"] == (101, 512, 512)
+    assert args["trainer"]["data_parallel"] is True
+    assert args["trainer"]["compute_dtype"] == "bfloat16"
+    assert args["model"]["fno_modes"] == 20
+    assert args["model"]["remat"] is True
