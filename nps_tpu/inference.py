@@ -1,0 +1,150 @@
+"""Standalone inference/serving API.
+
+The reference has no inference entry point (rollouts only happen inside the
+trainer; checkpoints are loaded by external notebooks —
+``src/train.py:22,33-34``). This module makes deployment first-class: build
+a surrogate from a config file, load a checkpoint (nps_tpu msgpack or a
+PyTorch reference ``.pt``), and run jitted scan-based rollouts.
+
+    from nps_tpu.inference import SurrogateEngine
+    eng = SurrogateEngine.from_config(
+        "nps_tpu/configs/train/cfg_twophase_ufno.py",
+        checkpoint="experiments/run_default.msgpack",
+        overrides=["--trainer.base_resolution=[501,96,64]"],
+        pde=my_pde)                       # or a dataset to derive it from
+    frames = eng.rollout(u0, cond=cond, spatial_cond=sc, n_steps=19)
+"""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.serialization
+
+import nps_tpu.models as models
+from nps_tpu.configs.parse import parse_args
+from nps_tpu.pde import PDE2D
+
+
+class SurrogateEngine:
+    def __init__(self, model, params, pde, time_window):
+        self.model = model
+        self.params = params
+        self.pde = pde
+        self.tw = time_window
+        self._rollout_cache = {}
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_config(cls, config_file, checkpoint=None, overrides=(),
+                    pde=None, dataset=None, compute_dtype=None):
+        """Build from a training config file (same override semantics as the
+        CLI). The PDE metadata comes from ``pde`` or ``dataset.pde``."""
+        argv = sys.argv
+        try:
+            sys.argv = ["inference", "-C", config_file, *overrides]
+            args = parse_args()
+        finally:
+            sys.argv = argv
+
+        if compute_dtype or args["trainer"].get("compute_dtype"):
+            from nps_tpu.models.config import set_compute_dtype
+
+            set_compute_dtype(compute_dtype or
+                              args["trainer"]["compute_dtype"])
+
+        if pde is None:
+            if dataset is not None:
+                pde = dataset.pde
+            else:
+                t_res, nx1, nx2 = args["trainer"]["base_resolution"]
+                pde = PDE2D(tmin=0.0, tmax=1.0, nt=t_res, L1=1.0,
+                            L2=nx2 / nx1, nx1=nx1, nx2=nx2, x=None,
+                            name=args["dataset"].get("name", "pde"),
+                            n_cond_static=args.get("n_cond_static", 0),
+                            n_cond_spatial=args.get("n_cond_spatial", 0))
+
+        model_args = dict(args["model"])
+        model_args.pop("object", None)
+        model = models.activation_wrapper(**model_args, pde=pde)
+        eng = cls(model, None, pde, args["trainer"]["time_window"])
+        if checkpoint is not None:
+            eng.load(checkpoint)
+        return eng
+
+    # ------------------------------------------------------------------
+    def init_params(self, u0, cond=None, spatial_cond=None, seed=0):
+        pos = self._pos(u0.shape[0])
+        self.params = jax.jit(self.model.init)(
+            jax.random.PRNGKey(seed), jnp.asarray(u0),
+            cond=_maybe(cond), bc=None, pos=pos, t_cond=None,
+            spatial_cond=_maybe(spatial_cond))
+        return self.params
+
+    def load(self, path):
+        """Load an nps_tpu ``.msgpack`` export or a torch reference ``.pt``."""
+        if path.endswith(".pt") or path.endswith(".pth"):
+            from nps_tpu.compat import load_torch_checkpoint
+
+            self.params = load_torch_checkpoint(path)
+        else:
+            with open(path, "rb") as f:
+                data = f.read()
+            self.params = flax.serialization.msgpack_restore(data)
+        return self
+
+    # ------------------------------------------------------------------
+    def _pos(self, batch):
+        x = np.asarray(self.pde.x, np.float32)
+        return jnp.asarray(np.broadcast_to(x[None], (batch,) + x.shape))
+
+    def _get_rollout_fn(self, n_steps, shape_key):
+        key = (n_steps, shape_key)
+        if key not in self._rollout_cache:
+            model = self.model
+
+            @jax.jit
+            def fn(params, u0, cond, pos, spatial_cond):
+                def body(pred, _):
+                    pred = model.apply(params, pred, cond=cond, pos=pos,
+                                       spatial_cond=spatial_cond)
+                    return pred, pred
+
+                _, frames = jax.lax.scan(body, u0, None, length=n_steps)
+                return frames  # [n_steps, b, c, tw, *sp]
+
+            self._rollout_cache[key] = fn
+        return self._rollout_cache[key]
+
+    def step(self, u, cond=None, spatial_cond=None):
+        """One bundled step: [b, c, tw, *sp] -> next tw frames."""
+        pos = self._pos(u.shape[0])
+        return np.asarray(self.model.apply(
+            self.params, jnp.asarray(u), cond=_maybe(cond), pos=pos,
+            spatial_cond=_maybe(spatial_cond)))
+
+    def rollout(self, u0, n_steps, cond=None, spatial_cond=None,
+                include_init=False):
+        """Autoregressive rollout from a [b, c, tw, *sp] seed window.
+
+        Returns [b, c, n_steps*tw(+tw), *sp] predicted frames.
+        """
+        assert self.params is not None, "load() or init_params() first"
+        u0 = jnp.asarray(np.asarray(u0, np.float32))
+        pos = self._pos(u0.shape[0])
+        fn = self._get_rollout_fn(n_steps, (u0.shape, u0.dtype.name))
+        frames = fn(self.params, u0, _maybe(cond), pos, _maybe(spatial_cond))
+        frames = np.asarray(frames)  # [n_steps, b, c, tw, *sp]
+        frames = np.moveaxis(frames, 0, 2)
+        out = frames.reshape(frames.shape[:2] + (-1,) + frames.shape[4:])
+        if include_init:
+            out = np.concatenate([np.asarray(u0), out], axis=2)
+        return out
+
+
+def _maybe(x):
+    if x is None:
+        return None
+    x = jnp.asarray(np.asarray(x, np.float32))
+    return None if x.size == 0 else x

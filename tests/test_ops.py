@@ -338,3 +338,33 @@ def test_spectral_conv_pallas_matches_dft(rng):
     g2 = jax.grad(loss)(jnp.array(x))
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_adam_step_matches_torch(rng):
+    """optax Adam via inject_hyperparams must match torch.optim.Adam
+    (same bias correction, eps placement) over several steps."""
+    from nps_tpu.train.optim import build_optimizer, set_learning_rate
+
+    w0 = rng.standard_normal((4, 3)).astype(np.float32)
+    grads = [rng.standard_normal((4, 3)).astype(np.float32) for _ in range(5)]
+
+    wt = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt_t = torch.optim.Adam([wt], lr=1e-3)
+    for i, g in enumerate(grads):
+        opt_t.zero_grad()
+        wt.grad = torch.tensor(g)
+        if i == 3:
+            for group in opt_t.param_groups:
+                group["lr"] = 4e-4
+        opt_t.step()
+
+    tx, _ = build_optimizer(object="optim.Adam", lr=1e-3)
+    wj = jnp.array(w0)
+    state = tx.init(wj)
+    for i, g in enumerate(grads):
+        if i == 3:
+            state = set_learning_rate(state, 4e-4)
+        upd, state = tx.update(jnp.array(g), state, wj)
+        wj = wj + upd
+    np.testing.assert_allclose(np.asarray(wj), wt.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)

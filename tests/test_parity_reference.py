@@ -189,3 +189,65 @@ def test_rollout_parity_ufno():
         np.mean(ref_out ** 2)) + 1e-12)
     assert nrmse < 1e-3, f"rollout nRMSE {nrmse}"
     assert err / denom < 5e-3, f"rollout max rel err {err / denom}"
+
+
+def test_gradient_parity_drn():
+    """Backward-pass parity: gradients of sqrt(sum-MSE) w.r.t. every
+    parameter must match torch autograd with transplanted weights (validates
+    conv/crop/volume-preserve VJPs end to end)."""
+    import copy
+
+    ref_models, _ = load_reference()
+    pde, ref_pde = make_pdes()
+    cfg = model_cfg("drn")
+    cfg_ref = {**copy.deepcopy(cfg), "activation": cfg["activation"]}
+    cfg = {**copy.deepcopy(cfg), "activation": cfg["activation"]}
+    u, cond, sc = make_inputs(b=2, seed=4)
+    rng = np.random.default_rng(5)
+    labels = (rng.random(u.shape) + 0.5).astype(np.float32)
+    pos = np.broadcast_to(np.asarray(pde.x, np.float32)[None],
+                          (2, NX1, NX2, 2)).copy()
+
+    torch.manual_seed(0)
+    ref_model = ref_models.activation_wrapper(**cfg_ref, **WRAPPER_CFG,
+                                              pde=ref_pde)
+    ref_model.train()
+    crit = torch.nn.MSELoss(reduction="sum")
+    pred = ref_model(torch.tensor(u), cond=torch.tensor(cond), bc=None,
+                     pos=torch.tensor(pos), t_cond=None,
+                     spatial_cond=torch.tensor(sc))
+    loss_t = torch.sqrt(crit(pred, torch.tensor(labels)))
+    loss_t.backward()
+    ref_grads = {k: v.grad.numpy() for k, v in
+                 ref_model.named_parameters() if v.grad is not None}
+
+    my_model = models.activation_wrapper(**cfg, **WRAPPER_CFG, pde=pde)
+    params = convert_state_dict(ref_model.state_dict())
+    params = jax.tree_util.tree_map(jnp.asarray,
+                                    {"params": {"inner": params["params"]}})
+
+    def loss_fn(params):
+        out = my_model.apply(params, u, cond=cond, pos=pos, spatial_cond=sc)
+        return jnp.sqrt(jnp.sum((out - labels) ** 2))
+
+    with jax.default_matmul_precision("highest"):
+        loss_j, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+
+    assert abs(float(loss_j) - float(loss_t)) / float(loss_t) < 1e-5
+
+    # compare through the same name translation used for the weights
+    g_conv = convert_state_dict(ref_grads)
+    g_conv = {"params": {"inner": g_conv["params"]}}
+    flat_my = {tuple(str(k.key) for k in p): v for p, v in
+               jax.tree_util.tree_flatten_with_path(grads)[0]}
+    flat_ref = {tuple(str(k.key) for k in p): v for p, v in
+                jax.tree_util.tree_flatten_with_path(g_conv)[0]}
+    assert set(flat_ref) <= set(flat_my)
+    checked = 0
+    for k, gr in flat_ref.items():
+        gm = np.asarray(flat_my[k])
+        scale = np.abs(gr).max() + 1e-8
+        np.testing.assert_allclose(gm, gr, rtol=5e-3, atol=2e-4 * scale,
+                                   err_msg=str(k))
+        checked += 1
+    assert checked > 20
