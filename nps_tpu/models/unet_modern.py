@@ -54,6 +54,9 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        """x: a tensor or a tuple of channel-concat parts (norm stats are
+        joint, convs use kernel slices — identical math to concatenating,
+        but the wide tensor never materializes; see models/common.py)."""
         act = resolve_activation(self.activation)
         pk = _padding_kwargs(self.padding_mode)
         nd = self.num_spatial_dims
@@ -63,15 +66,20 @@ class ResidualBlock(nn.Module):
                 return lambda v: group_norm(v, self.n_groups, name=name)
             return lambda v: v
 
+        def act_parts(v):
+            return (tuple(act(p) for p in v) if isinstance(v, tuple)
+                    else act(v))
+
         h = ConvND(self.out_channels, 3, nd, name="conv1", **pk)(
-            act(norm_layer("norm1")(x)))
+            act_parts(norm_layer("norm1")(x)))
         h = ConvND(self.out_channels, 3, nd, name="conv2", **pk)(
             act(norm_layer("norm2")(h)))
         if self.in_channels != self.out_channels:
             shortcut = ConvND(self.out_channels, 1, nd, padding="valid",
                               name="shortcut")(x)
         else:
-            shortcut = x
+            shortcut = (jnp.concatenate(x, axis=-1)
+                        if isinstance(x, (tuple, list)) else x)
         return crop_nd(h, shortcut.shape, nd) + shortcut
 
 

@@ -368,3 +368,49 @@ def test_adam_step_matches_torch(rng):
         wj = wj + upd
     np.testing.assert_allclose(np.asarray(wj), wt.detach().numpy(),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("groups,dtype", [(1, "float32"), (8, "float32"),
+                                          (1, "bfloat16")])
+def test_group_norm_fast_matches_flax(rng, groups, dtype):
+    from flax import linen as nn
+    from nps_tpu.models.common import GroupNormFast
+
+    x = rng.standard_normal((2, 6, 5, 16), dtype=np.float32) * 3 + 1
+    scale = rng.standard_normal(16).astype(np.float32)
+    bias = rng.standard_normal(16).astype(np.float32)
+    params = {"params": {"scale": jnp.array(scale), "bias": jnp.array(bias)}}
+
+    ref = nn.GroupNorm(num_groups=groups, epsilon=1e-5).apply(
+        params, jnp.array(x))
+    xj = jnp.array(x, dtype=dtype)
+    out = GroupNormFast(num_groups=groups).apply(params, xj)
+    assert out.dtype == xj.dtype
+    tol = 1e-5 if dtype == "float32" else 3e-2
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref), rtol=tol, atol=tol)
+
+
+def test_conv_and_groupnorm_parts_equal_concat(rng):
+    """The parts-aware forms (kernel slices / joint stats) must equal the
+    concatenated form exactly (kept for layout experiments; see BASELINE.md)."""
+    from nps_tpu.models.common import ConvND, GroupNormFast
+
+    a = rng.standard_normal((2, 9, 8, 5), dtype=np.float32)
+    b = rng.standard_normal((2, 9, 8, 3), dtype=np.float32)
+    cat = np.concatenate([a, b], axis=-1)
+
+    conv = ConvND(6, 3, 2, padding="same", padding_mode="circular")
+    p = conv.init(jax.random.PRNGKey(0), jnp.array(cat))
+    y_cat = conv.apply(p, jnp.array(cat))
+    y_parts = conv.apply(p, (jnp.array(a), jnp.array(b)))
+    np.testing.assert_allclose(np.asarray(y_parts), np.asarray(y_cat),
+                               rtol=1e-5, atol=1e-5)
+
+    gn = GroupNormFast(num_groups=1)
+    pg = gn.init(jax.random.PRNGKey(1), jnp.array(cat))
+    g_cat = gn.apply(pg, jnp.array(cat))
+    g_parts = gn.apply(pg, (jnp.array(a), jnp.array(b)))
+    g_parts = np.concatenate([np.asarray(x) for x in g_parts], axis=-1)
+    np.testing.assert_allclose(g_parts, np.asarray(g_cat),
+                               rtol=1e-5, atol=1e-5)
