@@ -97,3 +97,61 @@ def test_trainer_data_parallel_end_to_end(mesh, tmp_path):
     # params actually replicated over the mesh
     leaf = jax.tree_util.tree_leaves(tr.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_dp_train_step_matches_single_device(mesh, tmp_path):
+    """One pushforward train step over a sharded batch must produce the same
+    loss and parameter update as the unsharded step (same key/batch)."""
+    import nps_tpu.models as models
+    from nps_tpu.data.synthetic import generate
+    from nps_tpu.data.pde2d import PDE2DDataset
+    from nps_tpu.models.activations import GELU
+    from nps_tpu.train import AutoregressivePushforwardTrainer, build_criterion
+    from nps_tpu.data.pipeline import device_put_batch
+
+    d = tmp_path / "twophase"
+    generate(str(d), n_sims=12, n_channels=2, nt=21, nx1=16, nx2=16, seed=3)
+    dataset = PDE2DDataset(
+        base_path=str(tmp_path), experiment="twophase", data_format="memmap",
+        data_file="snapshots", conditioning="conditioning",
+        spatial_conditioning="spatial_conditioning", split_file="split",
+        c_filter=[0], name="twophase")
+    tw = 5
+
+    def make_trainer(dp):
+        model = models.EncProcDec(
+            num_c=1, num_spatial_dims=2, time_window=tw,
+            encoder="enc_grid.ElementWise", activation=GELU(),
+            processor="DilatedResnet", kernel_size=3, hidden_blocks=1,
+            hidden_features=8, padding_mode="circular",
+            decoder="dec_grid.TimeConvDense", dec_delta_mode="per_step",
+            pde=dataset.pde)
+        return AutoregressivePushforwardTrainer(
+            model=model, data=dataset,
+            criterion=build_criterion(object="nn.MSELoss", reduction="sum"),
+            optimizer=dict(object="optim.Adam", lr=1e-3), lr_scheduler=None,
+            save_path=str(tmp_path / f"m{dp}"), time_window=tw,
+            base_resolution=(21, 16, 16), super_resolution=(21, 16, 16),
+            device="cpu", batch_size=8, nr_gt_steps=1, nw=0, num_epochs=1,
+            lr_step_interval=1, unrolling=0, print_interval=1,
+            test_interval=1, process_settings={}, data_parallel=dp)
+
+    tr1 = make_trainer(False)
+    tr2 = make_trainer(True)
+    loader = tr1.get_dataloaders()[0]
+    batch = next(iter(loader))
+    tr1.ensure_initialized(loader)
+    tr2.params = jax.device_get(tr1.params)
+    from nps_tpu.parallel import replicate
+
+    tr2.params = replicate(tr2.params, tr2.mesh)
+    tr2._build_optimizer()
+
+    b1 = device_put_batch(batch, None)
+    b2 = device_put_batch(batch, tr2.sharding)
+    loss1, _ = tr1.train_step(b1, epoch=0, batch_idx=0, loader=None)
+    loss2, _ = tr2.train_step(b2, epoch=0, batch_idx=0, loader=None)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(tr1.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(tr2.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
