@@ -1,0 +1,71 @@
+"""Capture and summarize a device profile of the benchmark train step.
+
+Usage: python tools/profile_step.py [trace_dir]
+
+Prints TPU-busy time per step, the op-category breakdown, and the top
+attributed sources. Works over the axon tunnel (device timelines included).
+"""
+
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def summarize(trace_dir, n_steps):
+    p = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True))[-1]
+    data = json.loads(gzip.open(p).read())
+    evs = [e for e in data["traceEvents"] if isinstance(e, dict)]
+    tpu_pids = {e["pid"] for e in evs if e.get("name") == "process_name"
+                and "TPU" in str(e.get("args", {}).get("name", ""))}
+    tnames = {(e["pid"], e.get("tid")): e.get("args", {}).get("name")
+              for e in evs if e.get("name") == "thread_name"}
+    ops = [e for e in evs if e.get("ph") == "X" and e.get("pid") in tpu_pids
+           and tnames.get((e["pid"], e.get("tid"))) == "XLA Ops"
+           and "dur" in e]
+
+    cat = collections.Counter()
+    src = collections.Counter()
+    for e in ops:
+        cat[re.sub(r"\.\d+$", "", e["name"])] += e["dur"]
+        a = e.get("args", {})
+        s = a.get("tf_op") or ""
+        src[str(s)[:70] or re.sub(r"\.\d+$", "", e["name"])] += e["dur"]
+    total = sum(cat.values())
+    print(f"TPU busy: {total / n_steps / 1e3:.0f} ms/step")
+    print("\nby op category:")
+    for k, d in cat.most_common(12):
+        print(f"  {d / n_steps / 1e3:8.2f} ms {d / total * 100:5.1f}%  {k}")
+    print("\nby source:")
+    for k, d in src.most_common(12):
+        print(f"  {d / n_steps / 1e3:8.2f} ms {d / total * 100:5.1f}%  {k}")
+
+
+def main():
+    import jax
+
+    import bench
+
+    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nps_profile"
+    step, params, opt_state, inputs = bench.build_step()
+    u_traj, cond, sc, pos = inputs
+    params, opt_state, loss = step(params, opt_state, u_traj, cond, sc, pos,
+                                   jax.random.PRNGKey(0))
+    float(loss)  # sync (block_until_ready is unreliable on axon)
+    n = 3
+    jax.profiler.start_trace(trace_dir)
+    for i in range(n):
+        params, opt_state, loss = step(params, opt_state, u_traj, cond, sc,
+                                       pos, jax.random.PRNGKey(i))
+    float(loss)
+    jax.profiler.stop_trace()
+    summarize(trace_dir, n)
+
+
+if __name__ == "__main__":
+    main()
