@@ -45,7 +45,7 @@ class SpectralConvND(nn.Module):
     feature_transform: bool = False
     feature_transform_dim: int = 0
     transform_mode: int = 1
-    mix_impl: str = "xla"
+    mix_impl: str = "dft"
 
     @nn.compact
     def __call__(self, x, p=None):
@@ -91,7 +91,7 @@ class FNO_Layer(nn.Module):
     hidden_dim_out: int = None
     conv_mode: str = "single"
     padding_mode: str = "circular"
-    mix_impl: str = "xla"
+    mix_impl: str = "dft"
 
     @nn.compact
     def __call__(self, x, p=None):
@@ -145,7 +145,7 @@ class FNO(nn.Module):
     fno_kernel_size: int = 1
     fno_conv_mode: str = "single"
     padding_mode: str = "circular"
-    mix_impl: str = "xla"
+    mix_impl: str = "dft"
     remat: bool = True  # rematerialize per layer in the backward pass
 
     @nn.compact

@@ -42,7 +42,7 @@ class UFNO(nn.Module):
     mid_attn: bool = False
     n_blocks: int = 1
     use1x1: bool = True
-    mix_impl: str = "xla"
+    mix_impl: str = "dft"
     # rematerialize each (spectral + U-Net) block in the backward pass:
     # trades ~1/3 extra FLOPs for O(1)-block activation memory, which is
     # what lets full-size U-FNO training fit HBM at 128^2+ (SURVEY.md §7).
