@@ -97,6 +97,8 @@ model = dict(
     norm=True,
     use1x1=True,
     remat=True,
+    remat_policy="save_conv_outputs",  # fastest rematting mode (keeps
+    # conv results, recomputes only elementwise/norm/concat work)
     decoder="dec_grid.TimeConvDense",
     dec_delta_mode="per_step",
 )

@@ -44,11 +44,13 @@ class UFNO(nn.Module):
     use1x1: bool = True
     mix_impl: str = "dft"
     # rematerialize each (spectral + U-Net) block in the backward pass:
-    # trades ~1/3 extra FLOPs for O(1)-block activation memory, which is
-    # what lets full-size U-FNO training fit HBM at 128^2+ (SURVEY.md §7).
-    # remat_policy "save_conv_outputs" keeps conv results (the expensive
-    # recomputes) and only recomputes elementwise/norm/concat work.
-    remat: bool = True
+    # trades recompute for O(1)-block activation memory. With the DFT
+    # spectral path and bf16 activations the full 128^2 b16 workload fits
+    # HBM *without* remat and runs ~25% faster (27.7 vs 22.2 samples/s on
+    # v5e), so remat defaults off; enable it (optionally with
+    # remat_policy="save_conv_outputs", the fastest rematting mode) for
+    # large grids — cfg_ns512_ufno sets remat=True for 512^2.
+    remat: bool = False
     remat_policy: Any = None
 
     @nn.compact
