@@ -67,6 +67,13 @@ def _opt(x):
     return None if (x is None or x.size == 0) else x
 
 
+def _frames(seq):
+    """[n_steps, b, c, tw, *sp] scan output -> [b, c, n_steps*tw, *sp]."""
+    seq = np.asarray(seq)
+    seq = np.moveaxis(seq, 0, 2)  # [b, c, n_steps, tw, *sp]
+    return seq.reshape(seq.shape[:2] + (-1,) + seq.shape[4:])
+
+
 class AutoregressivePushforwardTrainer(TrainInterface):
     data_interface = [D.sim1d, D.sim2d, D.sim1d_var_t]
     model_interface = [M.AR_TB]
@@ -165,7 +172,8 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         return jax.jit(step_fn if precision is None else traced,
                        donate_argnums=(0, 1))
 
-    def _make_test_step(self, batch_size, t_res, has_base, use_mask=False):
+    def _make_test_step(self, batch_size, t_res, has_base, use_mask=False,
+                        include_data=False):
         pde = self.data.pde
         mi = self.model.model_interface
         ps = dict(self.config.process_settings)
@@ -199,13 +207,15 @@ class AutoregressivePushforwardTrainer(TrainInterface):
                 step_losses.append(criterion(pred, labels) / batch_size)
             step_losses = jnp.stack(step_losses)
 
-            # unrolled rollout losses (:442-514)
-            unrolled_losses = self._simulate_scan(
+            # unrolled rollout losses (:442-514); with include_data the same
+            # scan also emits the predictions, so the rollout runs ONCE
+            sim = self._simulate_scan(
                 params, u_super, cond_, x, t_cond_, sc_,
                 nr_gt_steps=self.config.nr_gt_steps, t_res=t_res,
-                compute_loss=True, include_data=False, use_bc=True,
+                compute_loss=True, include_data=include_data, use_bc=True,
                 clip_min=True, divide_by_t=True, batch_size=batch_size,
                 u_mask=mask if use_mask else None)
+            unrolled_losses = sim["losses"] if include_data else sim
             unrolled_sum = jnp.sum(unrolled_losses)
 
             # numerical-baseline losses (:476-496)
@@ -223,12 +233,16 @@ class AutoregressivePushforwardTrainer(TrainInterface):
             else:
                 base_sum = jnp.zeros(())
 
-            return dict(
+            out = dict(
                 step_losses=step_losses,
                 mean_step_loss=jnp.mean(step_losses),
                 unrolled_losses=unrolled_sum,
                 unrolled_base_losses=base_sum,
             )
+            if include_data:
+                out["preds"] = sim["preds"]
+                out["labels_seq"] = sim["labels_seq"]
+            return out
 
         return jax.jit(fn)
 
@@ -384,10 +398,12 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         batch_size = int(u_super.shape[0])
         has_base = u_base is not None and u_base.size > 0
 
-        fn = self._jit(("test", batch_size, t_res, has_base, mask is not None),
+        fn = self._jit(("test", batch_size, t_res, has_base, mask is not None,
+                        include_data),
                        lambda: self._make_test_step(batch_size, t_res,
                                                     has_base,
-                                                    use_mask=mask is not None))
+                                                    use_mask=mask is not None,
+                                                    include_data=include_data))
         out = fn(self.params, u_base, u_super, x, cond, t_cond, spatial_cond,
                  mask)
 
@@ -404,12 +420,15 @@ class AutoregressivePushforwardTrainer(TrainInterface):
 
         main_loss = float(out["unrolled_losses"])
         if include_data:
-            sim = self.simulate(
-                u_super, cond, x, compute_loss=True, include_data=True,
-                nr_gt_steps=self.config.nr_gt_steps, t_res=t_res,
-                t_conditioning=t_cond, spatial_conditioning=spatial_cond,
-                divide_by_t=True)
-            _, (data_gt, data_pred) = sim
+            # predictions come from the same jitted rollout scan that
+            # produced the losses above — no second rollout
+            pred0 = np.asarray(
+                u_super[:, :, tw * self.config.nr_gt_steps - tw:
+                        tw * self.config.nr_gt_steps])
+            data_pred = np.concatenate(
+                [pred0, _frames(out["preds"])], axis=2)
+            data_gt = np.concatenate(
+                [pred0, _frames(out["labels_seq"])], axis=2)
             data_other = [{} for _ in range(batch_size)]
             return main_loss, info, (data_gt, data_pred, data_other)
         return main_loss, info
@@ -436,28 +455,38 @@ class AutoregressivePushforwardTrainer(TrainInterface):
                        if t_conditioning is not None else None)
         sc_ = _opt(jnp.asarray(spatial_conditioning)
                    if spatial_conditioning is not None else None)
+        u_bc_ = jnp.asarray(u_bc) if u_bc is not None else None
+        u_mask_ = jnp.asarray(u_mask) if u_mask is not None else None
 
-        res = self._simulate_scan(
-            self.params, u, cond_, jnp.asarray(x), t_cond_, sc_,
-            nr_gt_steps=nr_gt_steps, t_res=t_res, compute_loss=compute_loss,
-            include_data=include_data, use_bc=use_bc, clip_min=clip_min,
-            divide_by_t=divide_by_t, batch_size=batch_size,
-            u_bc=jnp.asarray(u_bc) if u_bc is not None else None,
-            u_mask=jnp.asarray(u_mask) if u_mask is not None else None)
+        # the whole rollout runs as ONE cached jitted scan (keyed by shapes
+        # and static flags); None args are static pytree structure
+        key = ("simulate", u.shape, t_res, nr_gt_steps, compute_loss,
+               include_data, use_bc, clip_min, divide_by_t,
+               cond_ is not None, t_cond_ is not None, sc_ is not None,
+               u_bc_ is not None, u_mask_ is not None)
+
+        def build():
+            def fn(params, u, cond, x, t_cond, sc, u_bc, u_mask):
+                return self._simulate_scan(
+                    params, u, cond, x, t_cond, sc,
+                    nr_gt_steps=nr_gt_steps, t_res=t_res,
+                    compute_loss=compute_loss, include_data=include_data,
+                    use_bc=use_bc, clip_min=clip_min, divide_by_t=divide_by_t,
+                    batch_size=batch_size, u_bc=u_bc, u_mask=u_mask)
+            return jax.jit(fn)
+
+        res = self._jit(key, build)(
+            self.params, u, cond_, jnp.asarray(x), t_cond_, sc_, u_bc_,
+            u_mask_)
 
         if not include_data:
             return [l for l in np.asarray(res)]
 
-        def frames(seq):
-            # [n_steps, b, c, tw, *sp] -> [b, c, n_steps*tw, *sp]
-            seq = np.asarray(seq)
-            seq = np.moveaxis(seq, 0, 2)  # [b, c, n_steps, tw, *sp]
-            return seq.reshape(seq.shape[:2] + (-1,) + seq.shape[4:])
-
         pred0 = np.asarray(u[:, :, tw * nr_gt_steps - tw: tw * nr_gt_steps])
-        data_pred = np.concatenate([pred0, frames(res["preds"])], axis=2)
+        data_pred = np.concatenate([pred0, _frames(res["preds"])], axis=2)
         if compute_loss:
-            data_gt = np.concatenate([pred0, frames(res["labels_seq"])], axis=2)
+            data_gt = np.concatenate([pred0, _frames(res["labels_seq"])],
+                                     axis=2)
             losses = [l for l in np.asarray(res["losses"])]
             return losses, (data_gt, data_pred)
         return data_pred

@@ -147,9 +147,24 @@ def main(args):
 
 
 def cli():
+    """Parse args and run, with the reference's crash-safe envelope
+    (``src/train.py:175-187``): any exception — including KeyboardInterrupt
+    mid-preprocess — is held until scratch cleanup has run (the memmap
+    finalizers fire when the trainer/dataset go out of scope here), then
+    re-raised."""
+    import tempfile
+
     args = parse_args()
-    main(args)
-    print("Run finished!")
+    exception = None
+    with tempfile.TemporaryDirectory():
+        try:
+            main(args)
+        except (Exception, KeyboardInterrupt) as e:
+            exception = e
+    if exception is None:
+        print("Run finished!")
+    else:
+        raise exception
 
 
 if __name__ == "__main__":

@@ -52,16 +52,19 @@ def main():
     import bench
 
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nps_profile"
-    step, params, opt_state, inputs = bench.build_step()
-    u_traj, cond, sc, pos = inputs
-    params, opt_state, loss = step(params, opt_state, u_traj, cond, sc, pos,
-                                   jax.random.PRNGKey(0))
+    depth = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    trainer, device_batch = bench.build_trainer()
+    u_traj, pos, cond, t_cond, sc = device_batch
+    step = trainer._make_train_step(depth, u_traj.shape[0], u_traj.shape[2])
+    params, opt_state = trainer.params, trainer.opt_state
+    params, opt_state, loss = step(params, opt_state, u_traj, pos, cond,
+                                   t_cond, sc, jax.random.PRNGKey(0))
     float(loss)  # sync (block_until_ready is unreliable on axon)
     n = 3
     jax.profiler.start_trace(trace_dir)
     for i in range(n):
-        params, opt_state, loss = step(params, opt_state, u_traj, cond, sc,
-                                       pos, jax.random.PRNGKey(i))
+        params, opt_state, loss = step(params, opt_state, u_traj, pos, cond,
+                                       t_cond, sc, jax.random.PRNGKey(i))
     float(loss)
     jax.profiler.stop_trace()
     summarize(trace_dir, n)
