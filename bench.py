@@ -1,16 +1,20 @@
 """Headline benchmark: U-FNO train throughput (samples/sec/chip) at 128^2.
 
-Runs the full pushforward training step (unroll depth 1: one no-grad model
-step + one grad step + Adam update) of the cfg_twophase_ufno model
-(192 features, 3 U-FNO blocks, 10 modes) on a 128x128 grid with the
-reference training batch size (16), on whatever accelerator JAX exposes.
+Drives the SHIPPED trainer code path — ``AutoregressivePushforwardTrainer.
+_make_train_step`` (the exact jitted step ``train_step`` dispatches, with
+process_step/BC handling, scan-based pushforward, donated state) — on the
+cfg_twophase_ufno model (192 features, 3 U-FNO blocks, 10 modes) at 128x128
+with the reference batch size (16), at pushforward depths 0, 1 and 8.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
+is the depth-1 throughput (one no-grad model step + one grad step + Adam
+update, the mid-ramp production regime). The "extra" field carries the
+depth-0/8 numbers and a FLOPs-derived MFU (XLA cost analysis / v5e bf16
+peak 197 TFLOP/s).
 
 vs_baseline: ratio to the PyTorch reference running the same step on this
 host's CPU (the only reference hardware available here; measured by
-tools/bench_reference_torch.py and recorded in BASELINE.md). None until
-that measurement exists.
+tools/bench_reference_torch.py and recorded in BASELINE.md).
 """
 
 import json
@@ -21,93 +25,116 @@ import numpy as np
 # torch reference, same step/shape, this host's CPU (1 vCPU; measured by
 # tools/bench_reference_torch.py on 2026-08-16, see BASELINE.md)
 REFERENCE_SAMPLES_PER_SEC = 0.030
+V5E_BF16_PEAK_FLOPS = 197e12
 
 TW = 25
 NX = 128
 BATCH = 16
-UNROLLED = 1
-T_RES = TW * (UNROLLED + 2) + 1
+MAX_UNROLL = 8
+T_RES = TW * (MAX_UNROLL + 2) + 1
 
 
-def build_step(compute_dtype="bfloat16"):
+def build_trainer(compute_dtype="bfloat16", nx=NX, tw=TW, batch=BATCH,
+                  t_res=T_RES):
+    """The real trainer + a device-resident synthetic batch (no loader)."""
     import jax
-    import jax.numpy as jnp
 
     from __graft_entry__ import _build_model, _example_batch
+    from nps_tpu.common.interfaces import D
     from nps_tpu.models.config import set_compute_dtype
     from nps_tpu.train.losses import build_criterion
-    from nps_tpu.train.optim import build_optimizer
+    from nps_tpu.train.pushforward import AutoregressivePushforwardTrainer
 
     set_compute_dtype(compute_dtype)
+    model, pde = _build_model(nx, nx, tw)
 
-    model, pde = _build_model(NX, NX, TW)
-    u, cond, sc, pos = _example_batch(BATCH, TW, NX, NX, pde)
+    class _BenchData:  # minimal DatasetInterface stand-in
+        pass
+
+    data = _BenchData()
+    data.pde = pde
+    data.data_interface = D.sim2d
+
+    trainer = AutoregressivePushforwardTrainer(
+        model=model, data=data,
+        criterion=build_criterion(object="nn.MSELoss", reduction="sum"),
+        optimizer=dict(object="optim.Adam", lr=1e-4),
+        time_window=tw, base_resolution=[t_res, nx, nx],
+        unrolling=MAX_UNROLL, lr_step_interval=25, nr_gt_steps=1,
+        variable_time=False)
+
+    u, cond, sc, pos = _example_batch(batch, tw, nx, nx, pde)
     rng = np.random.default_rng(1)
-    u_traj = (rng.random((BATCH, 1, T_RES, NX, NX)) * 0.9).astype(np.float32)
+    u_traj = (rng.random((batch, 1, t_res, nx, nx)) * 0.9).astype(np.float32)
+    t_cond = np.zeros((batch, 0), np.float32)
+    u_base = np.zeros((0,), np.float32)
+    trainer.init_params((u_base, u_traj[:, :, :2 * tw], pos, cond, t_cond, sc))
 
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), u, cond=cond,
-                                 pos=pos, spatial_cond=sc)
-    tx, _ = build_optimizer(object="optim.Adam", lr=1e-4)
-    opt_state = jax.jit(tx.init)(params)
-    criterion = build_criterion(object="nn.MSELoss", reduction="sum")
+    import jax  # noqa: F811
 
-    def train_step(params, opt_state, u_traj, cond, sc, pos, key):
-        def loss_fn(params):
-            steps0 = jax.random.randint(key, (BATCH,), TW,
-                                        T_RES - TW - TW * UNROLLED + 1)
-            sl = jax.vmap(lambda ui, s: jax.lax.dynamic_slice_in_dim(
-                ui, s - TW, 2 * TW, axis=1))(u_traj, steps0)
-            data, labels = sl[:, :, :TW], sl[:, :, TW:]
-            for _ in range(UNROLLED):
-                data = jax.lax.stop_gradient(model.apply(
-                    params, data, cond=cond, pos=pos, spatial_cond=sc))
-                steps0 = steps0 + TW
-                labels = jax.vmap(lambda ui, s: jax.lax.dynamic_slice_in_dim(
-                    ui, s, TW, axis=1))(u_traj, steps0)
-            pred = model.apply(params, data, cond=cond, pos=pos,
-                               spatial_cond=sc)
-            return jnp.sqrt(criterion(pred, labels))
+    device_batch = tuple(jax.device_put(a)
+                         for a in (u_traj, pos, cond, t_cond, sc))
+    return trainer, device_batch
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, du: p + du, params, updates)
-        return params, opt_state, loss
 
-    step = jax.jit(train_step, donate_argnums=(0, 1))
-    inputs = [jax.device_put(x) for x in (u_traj, cond, sc, pos)]
-    return step, params, opt_state, inputs
+def bench_depth(trainer, device_batch, unrolled, n_steps=20):
+    """samples/sec and XLA-estimated FLOPs of one shipped train step."""
+    import jax
+
+    u_traj, pos, cond, t_cond, sc = device_batch
+    batch = u_traj.shape[0]
+    t_res = u_traj.shape[2]
+    fn = trainer._make_train_step(unrolled, batch, t_res)
+
+    flops = None
+    try:
+        lowered = fn.lower(trainer.params, trainer.opt_state, u_traj, pos,
+                           cond, t_cond, sc, jax.random.PRNGKey(0))
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            c = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = c.get("flops")
+    except Exception:
+        pass
+
+    params, opt_state = trainer.params, trainer.opt_state
+    for i in range(2):  # compile + warmup
+        params, opt_state, loss = fn(params, opt_state, u_traj, pos, cond,
+                                     t_cond, sc, jax.random.PRNGKey(i))
+    float(loss)  # sync: block_until_ready is a no-op on the axon platform
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        params, opt_state, loss = fn(params, opt_state, u_traj, pos, cond,
+                                     t_cond, sc, jax.random.PRNGKey(100 + i))
+    float(loss)
+    dt = (time.perf_counter() - t0) / n_steps
+    trainer.params, trainer.opt_state = params, opt_state
+    return batch / dt, flops, dt
 
 
 def main():
-    import jax
+    trainer, device_batch = build_trainer()
 
-    step, params, opt_state, (u_traj, cond, sc, pos) = build_step()
+    extra = {}
+    sps1 = None
+    for depth in (0, 1, MAX_UNROLL):
+        sps, flops, dt = bench_depth(trainer, device_batch, depth,
+                                     n_steps=20 if depth < 8 else 8)
+        mfu = (flops / dt / V5E_BF16_PEAK_FLOPS if flops else None)
+        extra[f"depth{depth}_samples_per_sec"] = round(sps, 3)
+        if mfu:
+            extra[f"depth{depth}_mfu"] = round(mfu, 4)
+        if depth == 1:
+            sps1 = sps
 
-    # warmup / compile; NOTE: block_until_ready is unreliable on the axon
-    # platform -- force a host readback to synchronize
-    for i in range(2):
-        key = jax.random.PRNGKey(i)
-        params, opt_state, loss = step(params, opt_state, u_traj, cond, sc,
-                                       pos, key)
-    float(loss)
-
-    n_steps = 20
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        key = jax.random.PRNGKey(100 + i)
-        params, opt_state, loss = step(params, opt_state, u_traj, cond, sc,
-                                       pos, key)
-    float(loss)  # synchronize
-    dt = time.perf_counter() - t0
-
-    sps = n_steps * BATCH / dt
-    vs = (sps / REFERENCE_SAMPLES_PER_SEC
+    vs = (sps1 / REFERENCE_SAMPLES_PER_SEC
           if REFERENCE_SAMPLES_PER_SEC else None)
     print(json.dumps({
         "metric": "ufno_train_samples_per_sec_per_chip_128x128",
-        "value": round(sps, 3),
+        "value": round(sps1, 3),
         "unit": "samples/s",
         "vs_baseline": round(vs, 3) if vs else None,
+        "extra": extra,
     }))
 
 

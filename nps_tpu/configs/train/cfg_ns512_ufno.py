@@ -9,9 +9,11 @@ synthetic dataset at this shape with:
     python -m nps_tpu.data.synthetic --out $DATAROOT/ns512 \
         --n-sims 64 --n-channels 1 --nt 101 --nx1 512 --nx2 512
 
-Spatial-domain sharding (halo exchange) for single-simulation scale-out is
-the round-2 extension (nps_tpu/parallel/spatial.py holds the building
-blocks).
+Spatial-domain sharding: set ``--trainer.spatial_parallel=K`` to shard the
+first spatial dimension over K mesh columns (a ("data", "x") grid mesh);
+XLA GSPMD inserts the halo exchanges and spectral/norm psums through the
+unchanged model (equivalence proven in tests/test_spatial_model.py). With
+the default ``data_parallel=True`` the batch alone is sharded.
 """
 
 from nps_tpu.configs.parse_component import load_config_modules, compose_config
@@ -63,6 +65,7 @@ trainer = dict(
     print_setting=dict(print_per_step=False),
     process_settings={},
     data_parallel=True,
+    spatial_parallel=0,  # set K>1 for the ("data", "x") grid mesh
     matmul_precision=None,
     compute_dtype="bfloat16",
     resume=True,

@@ -66,6 +66,8 @@ def device_put_batch(batch, sharding=None):
     """
     if sharding is None:
         return jax.device_put(batch)
+    if hasattr(sharding, "shard_batch"):  # GridBatchSharding (data x spatial)
+        return sharding.shard_batch(batch)
     n_shards = len(sharding.mesh.devices.flat)
     out = []
     for a in batch:

@@ -112,7 +112,17 @@ class TrainInterface(metaclass=ABCMeta):
             self.device = jax.devices()[0]
         self.platform = self.device.platform
 
-        if getattr(self.config, "data_parallel", False):
+        n_spatial = int(getattr(self.config, "spatial_parallel", 0) or 0)
+        if n_spatial > 1:
+            # 2-D ("data", "x") mesh: DP rows x spatially-sharded columns;
+            # XLA GSPMD inserts halo exchanges / psums inside the jitted steps
+            from nps_tpu.parallel import GridBatchSharding, make_grid_mesh
+
+            devices = [d for d in jax.devices()
+                       if d.platform == self.device.platform]
+            self.mesh = make_grid_mesh(n_spatial, devices)
+            self.sharding = GridBatchSharding(self.mesh)
+        elif getattr(self.config, "data_parallel", False):
             from nps_tpu.parallel import make_mesh, batch_sharding
 
             devices = [d for d in jax.devices()
