@@ -35,8 +35,13 @@ T_RES = TW * (MAX_UNROLL + 2) + 1
 
 
 def build_trainer(compute_dtype="bfloat16", nx=NX, tw=TW, batch=BATCH,
-                  t_res=T_RES):
-    """The real trainer + a device-resident synthetic batch (no loader)."""
+                  t_res=T_RES, model_kwargs=None):
+    """The real trainer + a device-resident synthetic batch (no loader).
+
+    model_kwargs overrides the flagship U-FNO spec — used by
+    tools/bench_all.py to bench the other model families through the same
+    shipped trainer step.
+    """
     import jax
 
     from __graft_entry__ import _build_model, _example_batch
@@ -46,7 +51,25 @@ def build_trainer(compute_dtype="bfloat16", nx=NX, tw=TW, batch=BATCH,
     from nps_tpu.train.pushforward import AutoregressivePushforwardTrainer
 
     set_compute_dtype(compute_dtype)
-    model, pde = _build_model(nx, nx, tw)
+    if model_kwargs is None:
+        model, pde = _build_model(nx, nx, tw)
+    else:
+        import nps_tpu.models as models
+        from nps_tpu.models.activations import GELU, Tanh
+        from nps_tpu.pde import PDE2D
+
+        pde = PDE2D(tmin=0.0, tmax=10.0, nt=501, L1=1.0, L2=0.66, nx1=nx,
+                    nx2=nx, x=None, name="twophase", n_cond_static=2,
+                    n_cond_dynamic=0, n_cond_spatial=2)
+        model = models.activation_wrapper(
+            model_class="EncProcDec", activation_final=Tanh(),
+            enforce_spatial_cond=True, spatial_cond_channel=0,
+            approx_volume_preserve=True,
+            approx_volume_preserve_mode="individual_static",
+            max_pct_dif=1 / tw, num_c=1, num_spatial_dims=2, time_window=tw,
+            encoder="enc_grid.ElementWise", activation=GELU(),
+            decoder="dec_grid.TimeConvDense", dec_delta_mode="per_step",
+            pde=pde, **model_kwargs)
 
     class _BenchData:  # minimal DatasetInterface stand-in
         pass
@@ -112,6 +135,27 @@ def bench_depth(trainer, device_batch, unrolled, n_steps=20):
     return batch / dt, flops, dt
 
 
+def bench_rollout(trainer, device_batch, reps=3):
+    """Bundled rollout steps/sec through the PUBLIC jitted simulate()."""
+    u_traj, pos, cond, t_cond, sc = device_batch
+    t_res = int(u_traj.shape[2])
+    n_steps = len(range(trainer.tw, t_res - trainer.tw + 1, trainer.tw))
+
+    def run():
+        return trainer.simulate(
+            u_traj, cond, pos, compute_loss=True, include_data=False,
+            nr_gt_steps=1, t_res=t_res, spatial_conditioning=sc,
+            divide_by_t=True)
+
+    run()  # compile + warmup (simulate returns numpy -> host sync)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        losses = run()
+    dt = (time.perf_counter() - t0) / reps
+    assert np.all(np.isfinite(losses))
+    return n_steps / dt
+
+
 def main():
     trainer, device_batch = build_trainer()
 
@@ -126,6 +170,10 @@ def main():
             extra[f"depth{depth}_mfu"] = round(mfu, 4)
         if depth == 1:
             sps1 = sps
+
+    rps = bench_rollout(trainer, device_batch)
+    extra["rollout_bundled_steps_per_sec"] = round(rps, 3)
+    extra["rollout_frames_per_sec"] = round(rps * TW * BATCH, 1)
 
     vs = (sps1 / REFERENCE_SAMPLES_PER_SEC
           if REFERENCE_SAMPLES_PER_SEC else None)
