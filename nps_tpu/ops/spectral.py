@@ -15,8 +15,12 @@ TPU-first design decisions (deliberately *not* a translation):
 - FFT itself stays on XLA's native FFT (fusing FFT into Pallas is not a
   win; see SURVEY.md §7).
 
-The block mixing step can be routed through a Pallas kernel
-(``nps_tpu.ops.pallas.spectral_mix``) via ``mix_impl='pallas'``.
+A hand-written Pallas route was built, benchmarked, and RETIRED: the fused
+single-kernel spectral conv lost 24x to these XLA matmuls at 64ch and its
+production weights (60 MB at 192ch) exceed VMEM; the XLA DFT path measures
+within ~2.5x of pure HBM bandwidth (BASELINE.md "Pallas verdict"). Valid
+``mix_impl`` values are 'dft' (default, truncated-DFT matmuls) and 'xla'
+(full FFT; used by the 3D path).
 """
 
 from functools import lru_cache, partial
@@ -192,7 +196,7 @@ def spectral_conv_nd(x, weights, modes, film=None, film_mode=1,
         film: optional FiLM scaling, [b, Co, n_blocks*m1(*...), m_last]
             laid out exactly like the reference's FiLM weight grids.
         film_mode: 0 -> multiply by (1 + w); 1 -> multiply by w.
-        mix_impl: 'xla' (einsum) or 'pallas'.
+        mix_impl: 'dft' (truncated-DFT matmuls, default) or 'xla' (FFT).
     Returns:
         [b, *spatial, Co] real float array.
     """
@@ -202,15 +206,8 @@ def spectral_conv_nd(x, weights, modes, film=None, film_mode=1,
     b = x.shape[0]
     co = weights[0].shape[2]
 
-    if mix_impl == "pallas" and nd == 2 and film is None:
-        # fused single-kernel path (VMEM-resident; forward kernel + DFT vjp)
-        from nps_tpu.ops.pallas.spectral_dft import spectral_dft_conv_2d_pallas
-
-        assert 2 * modes[0] <= sp[0], "mode blocks overlap the spectrum"
-        w = jnp.concatenate([weights[0], weights[1]], axis=3)
-        return spectral_dft_conv_2d_pallas(x, w[0], w[1], tuple(modes))
-    if mix_impl == "pallas":
-        mix_impl = "dft"  # unsupported pallas cases fall back
+    if mix_impl == "pallas":  # retired route (see module docstring)
+        mix_impl = "dft"
 
     if mix_impl == "dft":
         # FFT-free path (default): exact truncated-DFT matmuls on the MXU
@@ -227,14 +224,8 @@ def spectral_conv_nd(x, weights, modes, film=None, film_mode=1,
     x32 = x.astype(jnp.float32)
     xf = jnp.fft.rfftn(x32, axes=sp_axes)  # complex64, half spectrum on last sp dim
 
-    if mix_impl == "pallas":
-        from nps_tpu.ops.pallas.spectral_mix import complex_mix_pallas as _mix_k
-
-        def mix(blk, w, f):
-            return _mix_k(blk, w, f, film_mode)
-    else:
-        def mix(blk, w, f):
-            return _complex_mix(blk, w, f, film_mode, precision)
+    def mix(blk, w, f):
+        return _complex_mix(blk, w, f, film_mode, precision)
 
     if nd == 1:
         (m1,) = modes

@@ -312,32 +312,19 @@ def test_spectral_conv_1d_dft_vs_xla(rng):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_spectral_conv_pallas_matches_dft(rng):
-    """Fused Pallas kernel (interpret mode on CPU) vs the DFT path."""
-    from jax.experimental.pallas import tpu as pltpu
-
+def test_spectral_conv_retired_pallas_alias(rng):
+    """mix_impl='pallas' is a retired route (BASELINE.md "Pallas verdict");
+    it must resolve to the DFT path rather than error, so old configs keep
+    working."""
     b, ci, co, n1, n2, m1, m2 = 2, 3, 4, 16, 16, 4, 5
     x = rng.standard_normal((b, n1, n2, ci), dtype=np.float32)
     ws = [jnp.array(rng.random((2, ci, co, m1, m2)), dtype=jnp.float32) * 0.1
           for _ in range(2)]
     ref = jax.jit(lambda x: spectral_conv_nd(x, ws, (m1, m2),
                                              mix_impl="dft"))(x)
-    with pltpu.force_tpu_interpret_mode():
-        out = spectral_conv_nd(jnp.array(x), ws, (m1, m2), mix_impl="pallas")
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=1e-4)
-
-    # gradient path falls back to the DFT vjp
-    def loss(x):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(spectral_conv_nd(x, ws, (m1, m2),
-                                            mix_impl="pallas") ** 2)
-
-    g = jax.grad(lambda x: jnp.sum(
-        spectral_conv_nd(x, ws, (m1, m2), mix_impl="dft") ** 2))(jnp.array(x))
-    g2 = jax.grad(loss)(jnp.array(x))
-    np.testing.assert_allclose(np.asarray(g2), np.asarray(g),
-                               rtol=1e-3, atol=1e-4)
+    out = jax.jit(lambda x: spectral_conv_nd(x, ws, (m1, m2),
+                                             mix_impl="pallas"))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
 
 
 def test_adam_step_matches_torch(rng):
