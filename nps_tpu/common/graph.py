@@ -1,0 +1,172 @@
+"""Static-shape grid graphs: the TPU-native GNN data structure.
+
+Capability parity with the reference's torch_geometric graph plumbing
+(``src/common/data_creator.py:80-189``, ``src/models/enc_proc_dec.py:139-168``),
+re-designed TPU-first rather than translated:
+
+- the reference builds a dynamically-sized ``torch_geometric.data.Data``
+  object per batch with ``radius_graph``/``knn_graph`` from torch_cluster;
+- here the graph is a flat :class:`GridGraph` NamedTuple (automatically a
+  JAX pytree), and — because every batch element shares the same regular
+  grid — the edge set is computed **once per (grid, rule)** on the host in
+  numpy and tiled across the batch with node offsets. Identical edges,
+  static shapes, so GNN forwards jit / scan / grad like any dense model.
+
+Edge convention: ``edge_index[0] = senders (source j)``,
+``edge_index[1] = receivers (target i)`` — messages flow j -> i, matching
+the reference's torch_cluster ``flow="source_to_target"`` default. Edges
+are sorted by receiver so segment reductions see sorted indices.
+"""
+
+from typing import Any, NamedTuple, Optional
+
+import numpy as np
+
+
+class GridGraph(NamedTuple):
+    """A batch of identical regular-grid graphs, flattened to node space.
+
+    nodes:      [N, c, tw]   node features (N = batch_size * n_nodes)
+    y:          [N, c, tw]   label window (or None outside training)
+    edge_index: [2, E] int32 senders / receivers (static shape)
+    pos:        [N, 1+nd]    (t, x1..xnd) node coordinates
+    batch:      [N] int32    batch-element id per node
+    cond:       [N, n_cond]  per-node static conditioning (or None)
+    """
+
+    nodes: Any
+    edge_index: Any
+    pos: Any
+    batch: Any
+    y: Optional[Any] = None
+    cond: Optional[Any] = None
+
+
+# ----------------------------------------------------------------------
+# host-side (numpy) edge builders
+# ----------------------------------------------------------------------
+def _pairwise_edges(pos, mask_fn, loop=False):
+    """All (j -> i) pairs of one point set where ``mask_fn(d2)[i, j]``."""
+    pos = np.asarray(pos, np.float64)
+    if pos.ndim == 1:
+        pos = pos[:, None]
+    d2 = np.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
+    adj = mask_fn(d2)
+    if not loop:
+        np.fill_diagonal(adj, False)
+    recv, send = np.nonzero(adj)  # row i receives from column j
+    return np.stack([send, recv]).astype(np.int32)
+
+
+def radius_graph(pos, r, batch=None, loop=False):
+    """Edges j -> i for all pairs with ``|x_i - x_j| <= r``.
+
+    Parity with torch_cluster's ``radius_graph`` as used by the reference
+    (``data_creator.py:126-137``; the reference pads radii with +1e-4 so
+    the <=/< boundary distinction never bites). ``batch`` restricts edges
+    to within each batch segment.
+    """
+    return _batched(pos, batch, lambda p: _pairwise_edges(
+        p, lambda d2: d2 <= float(r) ** 2, loop=loop))
+
+
+def knn_graph(pos, k, batch=None, loop=False):
+    """Edges j -> i for the k nearest neighbors j of each node i."""
+
+    def one(p):
+        p = np.asarray(p, np.float64)
+        if p.ndim == 1:
+            p = p[:, None]
+        d2 = np.sum((p[:, None, :] - p[None, :, :]) ** 2, axis=-1)
+        if not loop:
+            np.fill_diagonal(d2, np.inf)
+        kk = min(int(k), d2.shape[0] - (0 if loop else 1))
+        nbr = np.argpartition(d2, kk - 1, axis=1)[:, :kk]  # [n, k]
+        recv = np.repeat(np.arange(d2.shape[0]), kk)
+        send = nbr.reshape(-1)
+        return np.stack([send, recv]).astype(np.int32)
+
+    return _batched(pos, batch, one)
+
+
+def _batched(pos, batch, one_fn):
+    pos = np.asarray(pos)
+    if batch is None:
+        edges = one_fn(pos)
+    else:
+        batch = np.asarray(batch).astype(np.int64)
+        parts = []
+        for b in np.unique(batch):
+            idx = np.nonzero(batch == b)[0]
+            e = one_fn(pos[idx])
+            parts.append(idx[e])  # contiguous segments -> idx[e] = e + off
+        edges = np.concatenate(parts, axis=1) if parts else \
+            np.zeros((2, 0), np.int32)
+    order = np.argsort(edges[1], kind="stable")  # sort by receiver
+    return edges[:, order].astype(np.int32)
+
+
+def tile_edges(edge_index, n_nodes, batch_size):
+    """Replicate one element's edge set across a batch with node offsets.
+
+    The TPU-native shortcut: all batch elements share the grid, so the
+    per-batch edge build in the reference collapses to one build + offsets.
+    """
+    edge_index = np.asarray(edge_index, np.int32)
+    offs = (np.arange(batch_size, dtype=np.int32) * n_nodes)[None, :, None]
+    return (edge_index[:, None, :] + offs).reshape(2, -1)
+
+
+# ----------------------------------------------------------------------
+# grid <-> node-space layout converters (work on numpy or jnp arrays)
+# ----------------------------------------------------------------------
+def grid_to_nodes(u):
+    """[b, c, tw, *sp] -> [b*nx, c, tw] (row-major spatial flatten).
+
+    Matches the reference's ``data_batch.flatten(2).permute(2, 0, 1)`` node
+    ordering (``data_creator.py:110``): element-major, then row-major grid.
+    """
+    b, c, tw = u.shape[:3]
+    flat = u.reshape(b, c, tw, -1)             # [b, c, tw, nx]
+    return flat.transpose(0, 3, 1, 2).reshape(-1, c, tw)
+
+
+def nodes_to_grid(nodes, batch_size, spatial_shape):
+    """[b*nx, c, tw] -> [b, c, tw, *sp] — inverse of :func:`grid_to_nodes`."""
+    c, tw = nodes.shape[1:]
+    h = nodes.reshape(batch_size, -1, c, tw)    # [b, nx, c, tw]
+    return h.transpose(0, 2, 3, 1).reshape(
+        (batch_size, c, tw) + tuple(spatial_shape))
+
+
+def flat_positions(x_grid):
+    """One element's coordinate grid -> [nx, nd] flat positions.
+
+    ``x_grid``: [*sp] (1D) or [*sp, nd] (channels-last grid, the dataset
+    layout).
+    """
+    x = np.asarray(x_grid)
+    if x.ndim == 1:
+        return x[:, None].astype(np.float32)
+    return x.reshape(-1, x.shape[-1]).astype(np.float32)
+
+
+def grid_edges(pde, x_grid, neighbors):
+    """Build one element's edge set per the reference's PDE-keyed rules
+    (``data_creator.py:124-138``): CE/burgers/DIV1D -> radius ``n*dx``;
+    WE -> knn ``k=n``; NS -> radius ``n*sqrt(dx1^2+dx2^2)``.
+
+    Extension over the reference (which raises for unknown names): any other
+    PDE falls back to the dimensionality-matched radius rule, so the GNN
+    path also runs on e.g. the twophase dataset."""
+    pos = flat_positions(x_grid)
+    name = f"{pde}"
+    n = int(neighbors)
+    if name == "WE":
+        return knn_graph(pos, n)
+    if name in ("NS",) or (name not in ("CE", "burgers", "DIV1D")
+                           and pos.shape[1] == 2):
+        r = n * float(np.hypot(pde.dx1, pde.dx2))
+        return radius_graph(pos, r)
+    dx = float(pos[1, 0] - pos[0, 0])
+    return radius_graph(pos, n * dx + 1e-4)

@@ -12,8 +12,12 @@ Capability parity with ``src/models/enc_proc_dec.py``:
   encoder -> processor chain -> decoder;
 - model/data interface derived from the processors (``:107-115``).
 
-The deprecated GNN branch (``data_structure='graph'``) is out of scope
-(deprecated in the reference itself, ``enc_proc_dec.py:140``).
+The GNN branch (``data_structure='graph'``, deprecated upstream at
+``enc_proc_dec.py:140`` but part of the capability surface) consumes a
+static-shape :class:`~nps_tpu.common.graph.GridGraph` instead of a
+torch_geometric ``Data`` object; conditioning broadcasts by node-batch
+gather, positions normalize by domain extent (``:152-163``), and the edge
+structure is threaded to every component as kwargs.
 
 TPU design: the public boundary keeps the reference layout
 ``[b, c, tw, *spatial]``; internally everything is channels-last. The whole
@@ -168,8 +172,7 @@ class EncProcDec(nn.Module):
     @nn.compact
     def __call__(self, u, cond=None, bc=None, pos=None, t_cond=None,
                  spatial_cond=None):
-        assert self.data_structure == "grid", \
-            "the GNN data structure is deprecated upstream and out of scope"
+        assert self.data_structure in ("grid", "graph")
 
         def check_none(x):
             return None if (x is None or x.size == 0) else x
@@ -181,7 +184,6 @@ class EncProcDec(nn.Module):
         spatial_cond = check_none(spatial_cond)
 
         nd = self.num_spatial_dims
-        sp = u.shape[3:]
         base = self._base_args()
 
         # ---- conditioning embedding (models/base.py:24-73) ----
@@ -204,39 +206,62 @@ class EncProcDec(nn.Module):
         variables = (jnp.concatenate(variables, axis=1)
                      if variables else None)
 
-        # ---- broadcast conditioning to the grid (channels-last) ----
-        if variables is not None:
-            vb = broadcast_to_grid_last(variables, sp)
-            if spatial_cond is not None:
-                sc_cl = jnp.moveaxis(spatial_cond, 1, -1)  # [b, *sp, ns]
-                vb = jnp.concatenate([vb, sc_cl], axis=-1)
+        extra = {}
+        if self.data_structure == "grid":
+            sp = u.shape[3:]
+            # ---- broadcast conditioning to the grid (channels-last) ----
+            if variables is not None:
+                vb = broadcast_to_grid_last(variables, sp)
+                if spatial_cond is not None:
+                    sc_cl = jnp.moveaxis(spatial_cond, 1, -1)  # [b, *sp, ns]
+                    vb = jnp.concatenate([vb, sc_cl], axis=-1)
+            else:
+                vb = (jnp.moveaxis(spatial_cond, 1, -1)
+                      if spatial_cond is not None else None)
+            u_in = u
+            pos_in = pos  # dataset grids are already channels-last [b,*sp,nd]
         else:
-            vb = (jnp.moveaxis(spatial_cond, 1, -1)
-                  if spatial_cond is not None else None)
+            # ---- graph: node-space inputs (enc_proc_dec.py:139-168) ----
+            graph = u  # a GridGraph pytree
+            if spatial_cond is not None:
+                # the reference warns and ignores it (enc_proc_dec.py:151)
+                import warnings
+
+                warnings.warn("spatial conditioning is not supported for "
+                              "data_structure == 'graph'; ignoring it")
+            u_in = graph.nodes  # [N, c, tw]
+            # broadcast batch-level conditioning to nodes by gather (:150)
+            vb = (variables[graph.batch] if variables is not None else None)
+            # normalize node positions by domain extent (:152-163)
+            pos_in = graph.pos[:, 1:]  # drop the time column
+            L = self.pde.L
+            scale = (jnp.asarray(L, pos_in.dtype) if nd > 1
+                     else jnp.asarray([L], pos_in.dtype))
+            pos_in = pos_in / scale
+            extra = dict(edge_index=graph.edge_index, batch=graph.batch)
+
         if vb is not None:
-            # keep the cond grid in the compute dtype so concats downstream
+            # keep the cond tensor in the compute dtype so concats downstream
             # don't silently promote bf16 activations back to f32
             from nps_tpu.models import config as model_config
 
             vb = model_config.cast_compute(vb)
 
-        pos_cl = pos  # dataset grids are already channels-last [b, *sp, nd]
-
         # ---- encode / process / decode ----
         encoder = create_model(self.encoder, self.pde, base, name="encoder")
-        h = encoder(u=u, variables_broadcast=vb, pos=pos_cl)
+        h = encoder(u=u_in, variables_broadcast=vb, pos=pos_in, **extra)
 
         for i, p_spec in enumerate(self.processor_specs):
             proc = create_model(p_spec, self.pde, base, name=f"processor_{i}")
-            kwargs = dict(variables_broadcast=vb, pos=pos_cl)
+            kwargs = dict(variables_broadcast=vb, pos=pos_in, **extra)
             if "variables" in inspect.signature(proc.__call__).parameters:
                 kwargs["variables"] = variables
             h_next = proc(h, **kwargs)
             h = h_next + h if (self.processor_residual and i > 0) else h_next
 
         decoder = create_model(self.decoder, self.pde, base, name="decoder")
-        return decoder(h, u, variables=variables, variables_broadcast=vb,
-                       pos=pos_cl)
+        return decoder(h, u_in, variables=variables, variables_broadcast=vb,
+                       pos=pos_in, **extra)
 
 
 def build_enc_proc_dec(pde, encoder, processor, decoder, bc_encoder=None,

@@ -1,0 +1,164 @@
+"""Node-space GNN components for the ``M.AR_TB_GNN`` model interface.
+
+The reference keeps the GNN calling convention alive (``D``/``M`` contract,
+``EncProcDec``'s graph branch at ``src/models/enc_proc_dec.py:139-168``, the
+trainer branches at ``src/trainers/autoregressivepushforwardtrainer.py:97-158``)
+but ships no GNN processor of its own — the message-passing architecture it
+was built around is MP-PDE (Brandstetter et al., arXiv:2202.03376), the same
+lineage as the ``ElementWise`` grid encoder. These components restore that
+capability TPU-natively:
+
+- :class:`NodeElementWise` — per-node MLP encoder, the node-space twin of
+  ``enc_grid.ElementWise``;
+- :class:`MPGNN` — message-passing processor: edge MLP on
+  (h_i, h_j, pos_i - pos_j) aggregated with ``jax.ops.segment_sum`` (static
+  node count, receiver-sorted edges from
+  :mod:`nps_tpu.common.graph`), node MLP update, residual per layer;
+- :class:`NodeTimeConvDense` — node-space twin of ``dec_grid.TimeConvDense``
+  (the decoders already operate per pixel, so node space is the natural
+  layout), emitting a delta via ``add_delta``.
+
+TPU notes: with the batch-tiled static edge set, message passing is two
+gathers + one ``segment_sum`` + dense MLPs — all static shapes, fully
+jit/scan/grad-compatible, and the MLPs are batched matmuls on the MXU.
+"""
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from nps_tpu.common.interfaces import D, M
+from nps_tpu.models.activations import Swish, resolve_activation
+from nps_tpu.models.dec_grid import add_delta
+
+
+def _flatten_nodes(u):
+    """[N, c, tw] -> [N, c*tw] (torch-flatten channel order)."""
+    return u.reshape(u.shape[0], -1)
+
+
+class NodeElementWise(nn.Module):
+    """Per-node two-layer MLP encoder on [window, pos, conditioning]."""
+
+    pde: Any = None
+    num_c: int = 1
+    num_spatial_dims: int = 1
+    time_window: int = 25
+    hidden_features: int = 128
+    n_cond: int = 0
+    activation: Any = Swish()
+
+    @nn.compact
+    def __call__(self, u, pos=None, variables_broadcast=None,
+                 edge_index=None, batch=None):
+        act = resolve_activation(self.activation)
+        parts = [_flatten_nodes(u)]
+        if pos is not None:
+            parts.append(pos)
+        if variables_broadcast is not None:
+            parts.append(variables_broadcast)
+        h = jnp.concatenate(parts, axis=-1)
+        h = act(nn.Dense(self.hidden_features, name="encoder_0")(h))
+        return act(nn.Dense(self.hidden_features, name="encoder_2")(h))
+
+
+class MPGNNLayer(nn.Module):
+    """One message-passing step: edge MLP -> segment-sum -> node MLP."""
+
+    hidden_features: int = 128
+    activation: Any = Swish()
+    aggregate: str = "mean"  # 'mean' | 'sum'
+
+    @nn.compact
+    def __call__(self, h, pos, edge_index, degree_inv=None):
+        act = resolve_activation(self.activation)
+        send, recv = edge_index[0], edge_index[1]
+        rel_pos = pos[recv] - pos[send]
+        m = jnp.concatenate([h[recv], h[send], rel_pos], axis=-1)
+        m = act(nn.Dense(self.hidden_features, name="edge_0")(m))
+        m = act(nn.Dense(self.hidden_features, name="edge_2")(m))
+        agg = jax.ops.segment_sum(m, recv, num_segments=h.shape[0],
+                                  indices_are_sorted=True)
+        if self.aggregate == "mean" and degree_inv is not None:
+            agg = agg * degree_inv[:, None]
+        upd = jnp.concatenate([h, agg], axis=-1)
+        upd = act(nn.Dense(self.hidden_features, name="node_0")(upd))
+        upd = nn.Dense(self.hidden_features, name="node_2")(upd)
+        return h + upd  # residual per layer
+
+
+class MPGNN(nn.Module):
+    """Message-passing processor (MP-PDE style) over a static GridGraph."""
+
+    model_interface = M.AR_TB_GNN
+    data_interface = (D.sim1d, D.sim2d)
+
+    pde: Any = None
+    hidden_features: int = 128
+    hidden_blocks: int = 6
+    num_spatial_dims: int = 1
+    n_cond: int = 0
+    activation: Any = Swish()
+    aggregate: str = "mean"
+
+    @nn.compact
+    def __call__(self, h, variables_broadcast=None, pos=None,
+                 edge_index=None, batch=None):
+        assert edge_index is not None, "MPGNN needs graph edges"
+        recv = edge_index[1]
+        degree_inv = None
+        if self.aggregate == "mean":
+            deg = jax.ops.segment_sum(
+                jnp.ones(recv.shape, h.dtype), recv,
+                num_segments=h.shape[0], indices_are_sorted=True)
+            degree_inv = jnp.where(deg > 0, 1.0 / deg, 0.0)
+        if variables_broadcast is not None:
+            h = jnp.concatenate([h, variables_broadcast], axis=-1)
+            h = nn.Dense(self.hidden_features, name="cond_proj")(h)
+        for i in range(self.hidden_blocks):
+            h = MPGNNLayer(self.hidden_features, self.activation,
+                           self.aggregate, name=f"mp_{i}")(
+                h, pos, edge_index, degree_inv)
+        return h
+
+
+class NodeTimeConvDense(nn.Module):
+    """Node-space ``TimeConvDense``: dense to tw*3*num_c, then a 2-layer
+    time CNN per node, then ``add_delta`` against the last input frame
+    (same derived kernel sizes as ``dec_grid.py:110-124``)."""
+
+    pde: Any = None
+    num_c: int = 1
+    num_spatial_dims: int = 1
+    time_window: int = 25
+    hidden_features: int = 128
+    activation: Any = "gelu"
+    dec_delta_mode: str = "per_step"
+    dec_delta_dt: bool = True
+
+    @nn.compact
+    def __call__(self, h, u, variables=None, variables_broadcast=None,
+                 pos=None, edge_index=None, batch=None):
+        act = resolve_activation(self.activation)
+        tw = self.time_window
+        h = nn.Dense(tw * 3 * self.num_c, name="pre_decoder")(h)
+
+        kernel_size_a = math.ceil(tw / 2)
+        kernel_size_b = math.ceil(tw / 4) + 1
+        if tw % 4 == 0:
+            kernel_size_b += 1
+
+        x = h.reshape((-1, self.num_c, tw * 3))      # (c, t) c-major
+        x = jnp.swapaxes(x, 1, 2)                    # [N, tw*3, num_c]
+        x = nn.Conv(self.num_c * 2, (kernel_size_a,), strides=(2,),
+                    padding="VALID", name="decoder_0")(x)
+        x = act(x)
+        x = nn.Conv(self.num_c, (kernel_size_b,), padding="VALID",
+                    name="decoder_2")(x)
+        delta = jnp.swapaxes(x, 1, 2)                # [N, num_c, tw]
+        # node tensors are [N, c, tw] = the grid layout with 0 spatial dims
+        return add_delta(delta, u, self.pde.dt, tw, 0,
+                         self.dec_delta_mode, self.dec_delta_dt)

@@ -187,6 +187,12 @@ class TrainInterface(metaclass=ABCMeta):
     def _on_state_rebuilt(self):
         """Hook for subclasses to drop cached jitted fns."""
 
+    def _to_model_input(self, u0, x):
+        """Hook: convert a grid window into the model's input structure
+        (identity for grids; the pushforward trainer wraps GNN inputs into
+        a static GridGraph)."""
+        return u0
+
     def init_params(self, batch):
         """Initialize model parameters from a sample batch (the reference's
         'lazy init after a first forward pass', made explicit)."""
@@ -194,7 +200,7 @@ class TrainInterface(metaclass=ABCMeta):
 
         u_base, u, x, cond, t_cond, spatial_cond = batch[:6]
         tw = self.config.time_window
-        u0 = jnp.asarray(u[:, :, :tw])
+        u0 = self._to_model_input(jnp.asarray(u[:, :, :tw]), x)
         key = jax.random.PRNGKey(get_seed())
         self.params = jax.jit(self.model.init)(
             key, u0, cond=jnp.asarray(cond), bc=None, pos=jnp.asarray(x),

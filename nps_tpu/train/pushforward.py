@@ -76,7 +76,7 @@ def _frames(seq):
 
 class AutoregressivePushforwardTrainer(TrainInterface):
     data_interface = [D.sim1d, D.sim2d, D.sim1d_var_t]
-    model_interface = [M.AR_TB]
+    model_interface = [M.AR_TB, M.AR_TB_GNN]
 
     def __init__(self, **kwargs):
         super().__init__(**kwargs)
@@ -86,6 +86,18 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         if not hasattr(self.config, "process_settings"):
             self.config.process_settings = {}
         self._jit_cache = {}
+        # graph-format processing for GNN models (parity:
+        # autoregressivepushforwardtrainer.py:30-37); also the static
+        # edge-structure cache for the jitted GNN path
+        from nps_tpu.common.data_creator import DataCreator
+
+        self.data_creator = DataCreator(
+            pde=self.data.pde,
+            neighbors=getattr(config, "neighbors", 3),
+            time_window=config.time_window,
+            t_resolution=config.base_resolution[0],
+            x_resolution=config.base_resolution[1])
+        self._graph_cache = {}
 
     def _on_state_rebuilt(self):
         self._jit_cache = {}
@@ -93,7 +105,59 @@ class AutoregressivePushforwardTrainer(TrainInterface):
     # ------------------------------------------------------------------
     # jitted step builders
     # ------------------------------------------------------------------
+    def _is_gnn(self):
+        return self.model.model_interface == M.AR_TB_GNN
+
+    def _ensure_graph_static(self, x, batch_size):
+        """Host-side: build the static (edges, pos, batch) structure for the
+        dataset grid ONCE, keyed by (spatial shape, batch size). The jitted
+        steps close over it as constants — the TPU-native replacement for
+        the reference's per-batch create_graph (data_creator.py:80-156)."""
+        if not self._is_gnn():
+            return
+        from nps_tpu.common import graph as G
+
+        x0 = np.asarray(x)[0]
+        sp = x0.shape[:-1] if x0.ndim > 1 else x0.shape
+        key = (tuple(sp), int(batch_size))
+        if key in self._graph_cache:
+            return
+        pos_x = G.flat_positions(x0)
+        nx = pos_x.shape[0]
+        edges = self.data_creator.grid_edge_index(x0, int(batch_size))
+        batch = np.repeat(np.arange(batch_size, dtype=np.int32), nx)
+        # time column fixed at 0: the model drops it (enc_proc_dec.py:152)
+        pos = np.concatenate(
+            [np.zeros((batch_size * nx, 1), np.float32),
+             np.tile(pos_x, (batch_size, 1))], axis=1)
+        self._graph_cache[key] = (edges, pos, batch)
+
+    def _to_model_input(self, u0, x):
+        if not self._is_gnn():
+            return u0
+        from nps_tpu.common import graph as G
+
+        b = u0.shape[0]
+        self._ensure_graph_static(x, b)
+        edges, pos_n, batch = self._graph_cache[(tuple(u0.shape[3:]), int(b))]
+        return G.GridGraph(nodes=G.grid_to_nodes(u0), edge_index=edges,
+                           pos=pos_n, batch=batch)
+
     def _apply(self, params, data, cond, bc, pos, t_cond, spatial_cond):
+        if self._is_gnn():
+            # grid window <-> node space at the model boundary; the graph
+            # structure is static so the conversion is two reshapes
+            from nps_tpu.common import graph as G
+
+            b = data.shape[0]
+            sp = data.shape[3:]
+            edges, pos_n, batch = self._graph_cache[(tuple(sp), int(b))]
+            graph = G.GridGraph(
+                nodes=G.grid_to_nodes(data), edge_index=edges, pos=pos_n,
+                batch=batch)
+            out = self.model.apply(params, graph, cond=cond, bc=bc, pos=pos,
+                                   t_cond=t_cond, spatial_cond=spatial_cond)
+            return G.nodes_to_grid(out, b, sp)
         return self.model.apply(params, data, cond=cond, bc=bc, pos=pos,
                                 t_cond=t_cond, spatial_cond=spatial_cond)
 
@@ -360,6 +424,7 @@ class AutoregressivePushforwardTrainer(TrainInterface):
             max_unrolling = min(unrolling_epoch, self.config.unrolling)
             unrolled = py_random.choice(list(range(max_unrolling + 1)))
 
+        self._ensure_graph_static(x, batch_size)
         fn = self._jit(("train", unrolled, batch_size, t_res),
                        lambda: self._make_train_step(unrolled, batch_size,
                                                      t_res))
@@ -398,6 +463,7 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         batch_size = int(u_super.shape[0])
         has_base = u_base is not None and u_base.size > 0
 
+        self._ensure_graph_static(x, batch_size)
         fn = self._jit(("test", batch_size, t_res, has_base, mask is not None,
                         include_data),
                        lambda: self._make_test_step(batch_size, t_res,
@@ -458,6 +524,7 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         u_bc_ = jnp.asarray(u_bc) if u_bc is not None else None
         u_mask_ = jnp.asarray(u_mask) if u_mask is not None else None
 
+        self._ensure_graph_static(x, batch_size)
         # the whole rollout runs as ONE cached jitted scan (keyed by shapes
         # and static flags); None args are static pytree structure
         key = ("simulate", u.shape, t_res, nr_gt_steps, compute_loss,

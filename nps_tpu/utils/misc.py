@@ -88,6 +88,43 @@ def random_timestr(n=10):
     return curr + "".join(random.choices(alphabet, k=n))
 
 
+def get_graph_from_batch(u, pos, batch, idx):
+    """Select one batch element's nodes from a flattened graph batch
+    (parity: ``src/utils/misc.py:69-71``)."""
+    u, pos, batch = (np.asarray(v) for v in (u, pos, batch))
+    sel = batch == idx
+    return u[sel], pos[sel]
+
+
+def grid_graph_to_array(u, pos, batch, dxs):
+    """Rasterize grid-structured graph nodes back into image arrays
+    (parity: ``src/utils/misc.py:74-113``).
+
+    Node positions are assumed to lie on a regular grid with spacings
+    ``dxs`` per spatial dimension (``pos[:, 0]`` is time and is ignored
+    for placement). Returns ``[b, c, t, *dims]``.
+
+    u: [N, c, t] node values; pos: [N, 1+nd]; batch: [N] element ids.
+    """
+    u, pos, batch = (np.asarray(v) for v in (u, pos, batch))
+    batch_size = int(batch.max()) + 1
+    out = []
+    for b in range(batch_size):
+        u_b, pos_b = get_graph_from_batch(u, pos, batch, b)
+        sp = pos_b[:, 1:]  # spatial columns
+        idx = (sp - sp.min(axis=0)) / np.asarray(dxs, np.float64)
+        idx_int = np.rint(idx).astype(np.int64)
+        assert np.allclose(idx, idx_int), \
+            "node positions do not lie on a regular grid with the given dxs"
+        dims = tuple(int(d) + 1 for d in idx_int.max(axis=0))
+        num_c, num_t = u_b.shape[1:]
+        img = np.zeros((num_c, num_t) + dims, u_b.dtype)
+        img[(slice(None), slice(None)) + tuple(idx_int.T)] = \
+            u_b.transpose(1, 2, 0)  # [c, t, nx] scatter into [c, t, *dims]
+        out.append(img)
+    return np.stack(out)
+
+
 def count_parameters(params):
     """Count leaves' elements in a param pytree (or an iterable of arrays)."""
     import jax

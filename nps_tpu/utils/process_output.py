@@ -29,7 +29,10 @@ def process_step(pde, model_interface, sim_prev, gtbc_prev, gtbc_next,
         if "set_min" in process_settings:
             set_min = set_min and process_settings["set_min"]
 
-    if f"{pde}" == "DIV1D" and model_interface == M.AR_TB:
+    # the GNN pipeline keeps data grid-shaped at trainer level (node
+    # conversion happens at the model boundary), so the grid logic covers
+    # both interfaces (reference's node-shaped branch: process_output.py:48)
+    if f"{pde}" == "DIV1D" and model_interface in (M.AR_TB, M.AR_TB_GNN):
         if set_bc:
             sim_prev = set_bc_1d(0, 0, sim_prev, gtbc_prev)
         if set_min:
