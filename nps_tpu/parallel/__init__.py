@@ -1,3 +1,5 @@
 from nps_tpu.parallel.mesh import (  # noqa: F401
     make_mesh, batch_sharding, replicate, replicated_sharding,
     init_distributed, make_grid_mesh, GridBatchSharding)
+from nps_tpu.parallel.tensor import (  # noqa: F401
+    make_dp_tp_mesh, param_partition_specs, shard_params, param_shardings)
