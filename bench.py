@@ -61,15 +61,22 @@ def build_trainer(compute_dtype="bfloat16", nx=NX, tw=TW, batch=BATCH,
         pde = PDE2D(tmin=0.0, tmax=10.0, nt=501, L1=1.0, L2=0.66, nx1=nx,
                     nx2=nx, x=None, name="twophase", n_cond_static=2,
                     n_cond_dynamic=0, n_cond_spatial=2)
-        model = models.activation_wrapper(
-            model_class="EncProcDec", activation_final=Tanh(),
-            enforce_spatial_cond=True, spatial_cond_channel=0,
-            approx_volume_preserve=True,
-            approx_volume_preserve_mode="individual_static",
-            max_pct_dif=1 / tw, num_c=1, num_spatial_dims=2, time_window=tw,
-            encoder="enc_grid.ElementWise", activation=GELU(),
-            decoder="dec_grid.TimeConvDense", dec_delta_mode="per_step",
-            pde=pde, **model_kwargs)
+        if model_kwargs.get("data_structure") == "graph":
+            # GNN family: plain EncProcDec on a static GridGraph (the
+            # physics wrapper is grid-only, like the reference)
+            model = models.EncProcDec(
+                num_c=1, num_spatial_dims=2, time_window=tw, pde=pde,
+                **model_kwargs)
+        else:
+            model = models.activation_wrapper(
+                model_class="EncProcDec", activation_final=Tanh(),
+                enforce_spatial_cond=True, spatial_cond_channel=0,
+                approx_volume_preserve=True,
+                approx_volume_preserve_mode="individual_static",
+                max_pct_dif=1 / tw, num_c=1, num_spatial_dims=2,
+                time_window=tw, encoder="enc_grid.ElementWise",
+                activation=GELU(), decoder="dec_grid.TimeConvDense",
+                dec_delta_mode="per_step", pde=pde, **model_kwargs)
 
     class _BenchData:  # minimal DatasetInterface stand-in
         pass

@@ -45,17 +45,27 @@ class GridGraph(NamedTuple):
 # ----------------------------------------------------------------------
 # host-side (numpy) edge builders
 # ----------------------------------------------------------------------
-def _pairwise_edges(pos, mask_fn, loop=False):
-    """All (j -> i) pairs of one point set where ``mask_fn(d2)[i, j]``."""
+def _pairwise_edges(pos, mask_fn, loop=False, chunk=2048):
+    """All (j -> i) pairs of one point set where ``mask_fn(d2)[i, j]``.
+
+    Row-chunked so the distance matrix never materializes whole (a 128^2
+    grid is 16k nodes -> 2 GB dense; chunks keep the peak at ~100 MB)."""
     pos = np.asarray(pos, np.float64)
     if pos.ndim == 1:
         pos = pos[:, None]
-    d2 = np.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
-    adj = mask_fn(d2)
-    if not loop:
-        np.fill_diagonal(adj, False)
-    recv, send = np.nonzero(adj)  # row i receives from column j
-    return np.stack([send, recv]).astype(np.int32)
+    n = pos.shape[0]
+    sends, recvs = [], []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        d2 = np.sum((pos[lo:hi, None, :] - pos[None, :, :]) ** 2, axis=-1)
+        adj = mask_fn(d2)
+        if not loop:
+            adj[np.arange(hi - lo), np.arange(lo, hi)] = False
+        recv, send = np.nonzero(adj)  # row i receives from column j
+        sends.append(send)
+        recvs.append(recv + lo)
+    return np.stack([np.concatenate(sends),
+                     np.concatenate(recvs)]).astype(np.int32)
 
 
 def radius_graph(pos, r, batch=None, loop=False):

@@ -186,35 +186,37 @@ class AutoregressivePushforwardTrainer(TrainInterface):
                 return (window(t_cond_, steps, tw, "labels")
                         if t_cond_ is not None else None)
 
-            def loss_fn(params):
-                # random start step per batch element (:95)
-                steps0 = jax.random.randint(
-                    key, (batch_size,), tw,
-                    t_res - tw - tw * unrolled + 1, dtype=jnp.int32)
-                data, labels = window(u_super, steps0, tw, "both")
-                _, bc = process_step(pde, mi, data, data, labels,
-                                     get_bc=True, set_bc=False, set_min=False,
-                                     process_settings=ps)
+            # random start step per batch element (:95)
+            steps0 = jax.random.randint(
+                key, (batch_size,), tw,
+                t_res - tw - tw * unrolled + 1, dtype=jnp.int32)
+            data, labels = window(u_super, steps0, tw, "both")
+            _, bc = process_step(pde, mi, data, data, labels,
+                                 get_bc=True, set_bc=False, set_min=False,
+                                 process_settings=ps)
 
-                # pushforward: `unrolled` no-grad steps via lax.scan (:115-144)
-                def body(carry, _):
-                    data, labels, bc, steps = carry
-                    pred = self._apply(params, data, cond_, bc, x,
-                                       t_window(steps), sc_)
-                    pred = jax.lax.stop_gradient(pred)
-                    labels_prev = labels
-                    steps = steps + tw
-                    labels = window(u_super, steps, tw, "labels")
-                    data, bc = process_step(pde, mi, pred, labels_prev, labels,
-                                            get_bc=True, set_bc=True,
-                                            set_min=True, process_settings=ps)
-                    return (data, labels, bc, steps), None
-
-                carry = (data, labels, bc, steps0)
-                if unrolled > 0:
-                    carry, _ = jax.lax.scan(body, carry, None, length=unrolled)
+            # pushforward: `unrolled` no-grad steps via lax.scan (:115-144).
+            # Runs OUTSIDE value_and_grad (params closed over) so autodiff
+            # never traces it: no residual saving, no (DCE'd) backward scan
+            # — the reference's torch.no_grad(), structurally.
+            def body(carry, _):
                 data, labels, bc, steps = carry
+                pred = self._apply(params, data, cond_, bc, x,
+                                   t_window(steps), sc_)
+                labels_prev = labels
+                steps = steps + tw
+                labels = window(u_super, steps, tw, "labels")
+                data, bc = process_step(pde, mi, pred, labels_prev, labels,
+                                        get_bc=True, set_bc=True,
+                                        set_min=True, process_settings=ps)
+                return (data, labels, bc, steps), None
 
+            carry = (data, labels, bc, steps0)
+            if unrolled > 0:
+                carry, _ = jax.lax.scan(body, carry, None, length=unrolled)
+            data, labels, bc, steps = jax.lax.stop_gradient(carry)
+
+            def loss_fn(params):
                 # final grad-tracked step (:146-155)
                 pred = self._apply(params, data, cond_, bc, x,
                                    t_window(steps), sc_)

@@ -109,6 +109,59 @@ def test_model_export_and_reload(trainer):
         np.testing.assert_array_equal(a, b)
 
 
+def test_train_step_matches_eager_replication(trainer):
+    """The shipped jitted pushforward step (scan outside value_and_grad)
+    must equal an eager step-by-step replication of the reference recipe
+    (autoregressivepushforwardtrainer.py:78-162) with the same key."""
+    import jax.numpy as jnp
+    from nps_tpu.train.pushforward import window
+    from nps_tpu.utils.process_output import process_step
+
+    batch = next(iter(trainer.get_dataloaders()[0]))
+    trainer.ensure_initialized(trainer.get_dataloaders()[0])
+    u_base, u_super, x, cond, t_cond, sc = batch
+    b, t_res, tw = int(u_super.shape[0]), int(u_super.shape[2]), trainer.tw
+    unrolled = 1
+    key = jax.random.PRNGKey(12)
+    params = trainer.params
+    pde, mi = trainer.data.pde, trainer.model.model_interface
+    crit = trainer.criterion
+
+    # eager replication
+    steps = jax.random.randint(key, (b,), tw, t_res - tw - tw * unrolled + 1,
+                               dtype=jnp.int32)
+    u_j = jnp.asarray(u_super)
+    data, labels = window(u_j, steps, tw, "both")
+    _, bc = process_step(pde, mi, data, data, labels, get_bc=True,
+                         set_bc=False, set_min=False, process_settings={})
+    for _ in range(unrolled):
+        pred = trainer.model.apply(params, data, cond=cond, bc=bc, pos=x,
+                                   t_cond=None, spatial_cond=sc)
+        labels_prev = labels
+        steps = steps + tw
+        labels = window(u_j, steps, tw, "labels")
+        data, bc = process_step(pde, mi, pred, labels_prev, labels,
+                                get_bc=True, set_bc=True, set_min=True,
+                                process_settings={})
+    pred = trainer.model.apply(params, data, cond=cond, bc=bc, pos=x,
+                               t_cond=None, spatial_cond=sc)
+    pred, _ = process_step(pde, mi, pred, labels, None, get_bc=False,
+                           set_bc=True, set_min=True, process_settings={})
+    loss_eager = float(jnp.sqrt(crit(pred, labels)))
+
+    # shipped jitted step (same key); donate copies, not the live state
+    fn = trainer._make_train_step(unrolled, b, t_res)
+    p_copy = jax.tree_util.tree_map(jnp.array, params)
+    o_copy = jax.tree_util.tree_map(
+        lambda v: jnp.array(v) if hasattr(v, "dtype") else v,
+        trainer.opt_state)
+    _, _, loss_step = fn(p_copy, o_copy, u_j, jnp.asarray(x),
+                         jnp.asarray(cond), jnp.asarray(t_cond),
+                         jnp.asarray(sc), key)
+    np.testing.assert_allclose(float(loss_step), loss_eager,
+                               rtol=2e-4, atol=1e-5)
+
+
 def test_training_improves_validation(dataset):
     """Regression guard: several epochs of training must improve the
     validation rollout loss and actually move the parameters."""

@@ -34,11 +34,16 @@ def family_kwargs(name):
                     fno_kernel_size=1, fno_conv_mode="single",
                     padding_mode="circular", ch_mults=[1, 1],
                     is_attn=[False, False], norm=True, use1x1=True)
+    if name == "gnn":
+        return dict(data_structure="graph", encoder="gnn.NodeElementWise",
+                    processor="MPGNN", decoder="gnn.NodeTimeConvDense",
+                    hidden_features=128, hidden_blocks=6, aggregate="mean",
+                    dec_delta_mode="per_step")
     raise ValueError(name)
 
 
 def main():
-    for name in ("drn", "unet", "ufno", "ufno_fno"):
+    for name in ("drn", "unet", "ufno", "ufno_fno", "gnn"):
         trainer, device_batch = bench.build_trainer(
             model_kwargs=family_kwargs(name))
         sps, flops, dt = bench.bench_depth(trainer, device_batch, unrolled=1,
