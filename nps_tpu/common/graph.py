@@ -161,6 +161,27 @@ def flat_positions(x_grid):
     return x.reshape(-1, x.shape[-1]).astype(np.float32)
 
 
+def build_static_structure(pde, x_grid, neighbors, batch_size,
+                           edge_index=None):
+    """Host-side (edges, pos, batch) for jitted GNN paths.
+
+    Built once per (grid, batch size) and closed over as constants by
+    trainer/engine steps — the TPU-native replacement for the reference's
+    per-batch ``create_graph``. The pos time column is fixed at 0 (the
+    model drops it; ``enc_proc_dec.py:152``)."""
+    x0 = np.asarray(x_grid)
+    pos_x = flat_positions(x0)
+    nx = pos_x.shape[0]
+    if edge_index is None:
+        edge_index = grid_edges(pde, x0, neighbors)
+    edges = tile_edges(edge_index, nx, batch_size)
+    batch = np.repeat(np.arange(batch_size, dtype=np.int32), nx)
+    pos = np.concatenate(
+        [np.zeros((batch_size * nx, 1), np.float32),
+         np.tile(pos_x, (batch_size, 1))], axis=1)
+    return edges, pos, batch
+
+
 def grid_edges(pde, x_grid, neighbors):
     """Build one element's edge set per the reference's PDE-keyed rules
     (``data_creator.py:124-138``): CE/burgers/DIV1D -> radius ``n*dx``;

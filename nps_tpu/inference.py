@@ -28,12 +28,45 @@ from nps_tpu.pde import PDE2D
 
 
 class SurrogateEngine:
-    def __init__(self, model, params, pde, time_window):
+    def __init__(self, model, params, pde, time_window, neighbors=3):
         self.model = model
         self.params = params
         self.pde = pde
         self.tw = time_window
+        self.neighbors = neighbors  # GNN edge rule (trainer.neighbors)
         self._rollout_cache = {}
+        self._graph_cache = {}
+
+    def _is_gnn(self):
+        from nps_tpu.common.interfaces import M
+
+        return self.model.model_interface == M.AR_TB_GNN
+
+    def _ensure_graph(self, batch_size):
+        """Host-side static graph structure for GNN models (built once per
+        batch size; closed over as constants by the jitted rollout)."""
+        key = int(batch_size)
+        if key not in self._graph_cache:
+            from nps_tpu.common import graph as G
+
+            self._graph_cache[key] = G.build_static_structure(
+                self.pde, self.pde.x, self.neighbors, key)
+        return self._graph_cache[key]
+
+    def _apply(self, params, u, cond, pos, spatial_cond):
+        """Model apply with grid<->node conversion for GNN models."""
+        if self._is_gnn():
+            from nps_tpu.common import graph as G
+
+            b, sp = u.shape[0], u.shape[3:]
+            edges, pos_n, batch = self._graph_cache[int(b)]
+            g = G.GridGraph(nodes=G.grid_to_nodes(u), edge_index=edges,
+                            pos=pos_n, batch=batch)
+            out = self.model.apply(params, g, cond=cond, pos=pos,
+                                   spatial_cond=spatial_cond)
+            return G.nodes_to_grid(out, b, sp)
+        return self.model.apply(params, u, cond=cond, pos=pos,
+                                spatial_cond=spatial_cond)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -66,9 +99,10 @@ class SurrogateEngine:
                             n_cond_spatial=args.get("n_cond_spatial", 0))
 
         model_args = dict(args["model"])
-        model_args.pop("object", None)
-        model = models.activation_wrapper(**model_args, pde=pde)
-        eng = cls(model, None, pde, args["trainer"]["time_window"])
+        obj = model_args.pop("object", "activation_wrapper")
+        model = getattr(models, obj)(**model_args, pde=pde)
+        eng = cls(model, None, pde, args["trainer"]["time_window"],
+                  neighbors=args["trainer"].get("neighbors", 3))
         if checkpoint is not None:
             eng.load(checkpoint)
         return eng
@@ -76,8 +110,16 @@ class SurrogateEngine:
     # ------------------------------------------------------------------
     def init_params(self, u0, cond=None, spatial_cond=None, seed=0):
         pos = self._pos(u0.shape[0])
+        u_in = jnp.asarray(u0)
+        if self._is_gnn():
+            from nps_tpu.common import graph as G
+
+            self._ensure_graph(u0.shape[0])
+            edges, pos_n, batch = self._graph_cache[int(u0.shape[0])]
+            u_in = G.GridGraph(nodes=G.grid_to_nodes(u_in), edge_index=edges,
+                               pos=pos_n, batch=batch)
         self.params = jax.jit(self.model.init)(
-            jax.random.PRNGKey(seed), jnp.asarray(u0),
+            jax.random.PRNGKey(seed), u_in,
             cond=_maybe(cond), bc=None, pos=pos, t_cond=None,
             spatial_cond=_maybe(spatial_cond))
         return self.params
@@ -102,13 +144,12 @@ class SurrogateEngine:
     def _get_rollout_fn(self, n_steps, shape_key):
         key = (n_steps, shape_key)
         if key not in self._rollout_cache:
-            model = self.model
+            apply = self._apply
 
             @jax.jit
             def fn(params, u0, cond, pos, spatial_cond):
                 def body(pred, _):
-                    pred = model.apply(params, pred, cond=cond, pos=pos,
-                                       spatial_cond=spatial_cond)
+                    pred = apply(params, pred, cond, pos, spatial_cond)
                     return pred, pred
 
                 _, frames = jax.lax.scan(body, u0, None, length=n_steps)
@@ -120,9 +161,11 @@ class SurrogateEngine:
     def step(self, u, cond=None, spatial_cond=None):
         """One bundled step: [b, c, tw, *sp] -> next tw frames."""
         pos = self._pos(u.shape[0])
-        return np.asarray(self.model.apply(
-            self.params, jnp.asarray(u), cond=_maybe(cond), pos=pos,
-            spatial_cond=_maybe(spatial_cond)))
+        if self._is_gnn():
+            self._ensure_graph(u.shape[0])
+        return np.asarray(self._apply(
+            self.params, jnp.asarray(u), _maybe(cond), pos,
+            _maybe(spatial_cond)))
 
     def rollout(self, u0, n_steps, cond=None, spatial_cond=None,
                 include_init=False):
@@ -133,6 +176,8 @@ class SurrogateEngine:
         assert self.params is not None, "load() or init_params() first"
         u0 = jnp.asarray(np.asarray(u0, np.float32))
         pos = self._pos(u0.shape[0])
+        if self._is_gnn():
+            self._ensure_graph(u0.shape[0])
         fn = self._get_rollout_fn(n_steps, (u0.shape, u0.dtype.name))
         frames = fn(self.params, u0, _maybe(cond), pos, _maybe(spatial_cond))
         frames = np.asarray(frames)  # [n_steps, b, c, tw, *sp]

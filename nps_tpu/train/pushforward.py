@@ -122,15 +122,8 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         key = (tuple(sp), int(batch_size))
         if key in self._graph_cache:
             return
-        pos_x = G.flat_positions(x0)
-        nx = pos_x.shape[0]
-        edges = self.data_creator.grid_edge_index(x0, int(batch_size))
-        batch = np.repeat(np.arange(batch_size, dtype=np.int32), nx)
-        # time column fixed at 0: the model drops it (enc_proc_dec.py:152)
-        pos = np.concatenate(
-            [np.zeros((batch_size * nx, 1), np.float32),
-             np.tile(pos_x, (batch_size, 1))], axis=1)
-        self._graph_cache[key] = (edges, pos, batch)
+        self._graph_cache[key] = G.build_static_structure(
+            self.data.pde, x0, self.data_creator.n, int(batch_size))
 
     def _to_model_input(self, u0, x):
         if not self._is_gnn():

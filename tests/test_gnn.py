@@ -304,6 +304,29 @@ def test_gnn_cli_end_to_end(tmp_path):
     assert (tmp_path / "out" / "gnn_smoke_train_summary.pickle").exists()
 
 
+def test_gnn_surrogate_engine(rng):
+    """Serving: a GNN config builds, inits, and rolls out via the engine."""
+    from nps_tpu.inference import SurrogateEngine
+
+    pde = _pde2d(nx1=10, nx2=8, nt=41, name="twophase")
+    pde.n_cond_static = 2
+    tw = 5
+    eng = SurrogateEngine.from_config(
+        "nps_tpu/configs/train/cfg_twophase_gnn.py", pde=pde,
+        overrides=["--model.hidden_features=8", "--model.hidden_blocks=1",
+                   "--time_window=5", "--base_resolution=[41,10,8]"])
+    assert eng._is_gnn()
+    u0 = (rng.random((2, 1, tw, 10, 8)) * 0.9).astype(np.float32)
+    cond = rng.random((2, 2)).astype(np.float32)
+    eng.init_params(u0, cond=cond)
+    out = eng.rollout(u0, n_steps=3, cond=cond)
+    assert out.shape == (2, 1, 3 * tw, 10, 8)
+    assert np.isfinite(out).all()
+    # rollout == step loop
+    p1 = eng.step(u0, cond=cond)
+    np.testing.assert_allclose(out[:, :, :tw], p1, rtol=1e-4, atol=1e-5)
+
+
 def test_gnn_simulate_rollout(gnn_trainer, rng):
     trainer = gnn_trainer
     trainer.ensure_initialized(trainer.get_dataloaders()[0])

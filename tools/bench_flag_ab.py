@@ -1,48 +1,70 @@
-"""A/B candidate XLA flags against the depth-1 U-FNO train step.
+"""A/B TPU compiler options against the depth-1 U-FNO train step.
 
-Each variant runs in a subprocess (flags must be set before JAX initializes;
-whether the axon remote compiler honors them is part of what's measured).
+Env XLA_FLAGS cannot carry TPU backend flags through the axon tunnel (the
+host-side flag parser rejects them: "Unknown flag in XLA_FLAGS"), but
+per-compile ``compiler_options`` ARE forwarded to the remote compiler.
+Each variant runs in its own subprocess so device memory is fully isolated.
 
 Run: python tools/bench_flag_ab.py
 """
 
+import json
 import os
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-CHILD = """
-import sys
+CHILD = r"""
+import json, sys, time
+import numpy as np
+import jax
 sys.path.insert(0, {repo!r})
 import bench
+
+opts = json.loads(sys.argv[1]) or None
 trainer, device_batch = bench.build_trainer()
-sps, flops, dt = bench.bench_depth(trainer, device_batch, unrolled=1,
-                                   n_steps=15)
-print(f"RESULT {{sps:.3f}} samples/s")
+u_traj, pos, cond, t_cond, sc = device_batch
+batch, t_res = u_traj.shape[0], u_traj.shape[2]
+fn = trainer._make_train_step(1, batch, t_res)
+lowered = fn.lower(trainer.params, trainer.opt_state, u_traj, pos, cond,
+                   t_cond, sc, jax.random.PRNGKey(0))
+exe = lowered.compile(compiler_options=opts)
+p2, o2 = trainer.params, trainer.opt_state
+for i in range(2):
+    p2, o2, loss = exe(p2, o2, u_traj, pos, cond, t_cond, sc,
+                       jax.random.PRNGKey(i))
+float(loss)
+t0 = time.perf_counter()
+n = 15
+for i in range(n):
+    p2, o2, loss = exe(p2, o2, u_traj, pos, cond, t_cond, sc,
+                       jax.random.PRNGKey(100 + i))
+float(loss)
+dt = (time.perf_counter() - t0) / n
+assert np.isfinite(float(loss))
+print(f"RESULT {{batch / dt:.2f}} samples/s ({{dt * 1e3:.1f}} ms/step)")
 """
 
 VARIANTS = {
-    "baseline": "",
-    "vmem_32m": "--xla_tpu_scoped_vmem_limit_kib=32768",
-    "vmem_64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
+    "baseline": {},
+    "vmem_32m": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
+    "vmem_64m": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
 }
 
 
 def main():
-    for name, flags in VARIANTS.items():
+    for name, opts in VARIANTS.items():
         env = dict(os.environ)
-        if flags:
-            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         proc = subprocess.run(
-            [sys.executable, "-c", CHILD.format(repo=REPO)], cwd=REPO,
-            env=env, capture_output=True, text=True, timeout=1800)
+            [sys.executable, "-c", CHILD.format(repo=REPO),
+             json.dumps(opts)],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
         line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT")]
-        print(f"{name}: {line[0] if line else 'FAILED rc=' + str(proc.returncode)}",
-              flush=True)
+        print(f"{name}: {line[0][7:] if line else 'FAILED'}", flush=True)
         if not line:
-            print(proc.stderr[-500:], flush=True)
+            print(proc.stderr[-400:], flush=True)
 
 
 if __name__ == "__main__":
