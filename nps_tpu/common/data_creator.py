@@ -15,6 +15,8 @@ Capability parity with ``src/common/data_creator.py``:
   graph is jit-/scan-compatible.
 """
 
+import hashlib
+
 import numpy as np
 
 from nps_tpu.common.graph import (
@@ -41,7 +43,10 @@ class DataCreator:
         """Batch edge set for the dataset grid — built once, tiled with
         node offsets (the reference rebuilds it per batch on the host)."""
         x0 = np.asarray(x_grid)
-        key = (x0.shape, batch_size)
+        # key on the grid's content, not just its shape: a rescaled
+        # same-shape grid changes the radius rule's edge set
+        key = (x0.shape, batch_size,
+               hashlib.sha1(np.ascontiguousarray(x0)).hexdigest())
         if key not in self._edge_cache:
             single = grid_edges(self.pde, x0, self.n)
             n_nodes = flat_positions(x0).shape[0]
@@ -79,8 +84,10 @@ class DataCreator:
     def create_next_graph(self, graph, pred, labels, steps):
         """Roll the node window forward for pushforward unrolling (parity:
         ``create_next_graph``, ``data_creator.py:157-189``): predictions
-        become the new inputs, labels/t advance. Pure-functional (works on
-        numpy or traced jnp arrays)."""
+        become the new inputs, labels/t advance. Pure-functional in
+        ``nodes``/``pred``/``labels`` (numpy or traced jnp arrays);
+        ``steps`` must be host-side ints — it indexes the numpy time grid
+        (the jitted trainer path closes over static structure instead)."""
         if isinstance(graph.nodes, np.ndarray):
             xp = np
         else:

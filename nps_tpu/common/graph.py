@@ -45,11 +45,20 @@ class GridGraph(NamedTuple):
 # ----------------------------------------------------------------------
 # host-side (numpy) edge builders
 # ----------------------------------------------------------------------
+def _d2_rows(pos, lo, hi):
+    """Squared distances from rows [lo, hi) to all points, matmul form
+    (|a|^2 + |b|^2 - 2ab^T) — no [rows, n, nd] broadcast intermediate."""
+    sq = np.sum(pos * pos, axis=1)
+    d2 = sq[lo:hi, None] + sq[None, :] - 2.0 * (pos[lo:hi] @ pos.T)
+    return np.maximum(d2, 0.0)
+
+
 def _pairwise_edges(pos, mask_fn, loop=False, chunk=2048):
     """All (j -> i) pairs of one point set where ``mask_fn(d2)[i, j]``.
 
     Row-chunked so the distance matrix never materializes whole (a 128^2
-    grid is 16k nodes -> 2 GB dense; chunks keep the peak at ~100 MB)."""
+    grid is 16k nodes -> 2 GB dense f64; chunks cap the peak at the
+    [chunk, n] block, ~256 MB)."""
     pos = np.asarray(pos, np.float64)
     if pos.ndim == 1:
         pos = pos[:, None]
@@ -57,7 +66,7 @@ def _pairwise_edges(pos, mask_fn, loop=False, chunk=2048):
     sends, recvs = [], []
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
-        d2 = np.sum((pos[lo:hi, None, :] - pos[None, :, :]) ** 2, axis=-1)
+        d2 = _d2_rows(pos, lo, hi)
         adj = mask_fn(d2)
         if not loop:
             adj[np.arange(hi - lo), np.arange(lo, hi)] = False
@@ -72,9 +81,9 @@ def radius_graph(pos, r, batch=None, loop=False):
     """Edges j -> i for all pairs with ``|x_i - x_j| <= r``.
 
     Parity with torch_cluster's ``radius_graph`` as used by the reference
-    (``data_creator.py:126-137``; the reference pads radii with +1e-4 so
-    the <=/< boundary distinction never bites). ``batch`` restricts edges
-    to within each batch segment.
+    (``data_creator.py:124-136``). ``batch`` restricts edges to within each
+    batch segment. Callers are expected to pad ``r`` by a small epsilon —
+    see :func:`grid_edges` for why.
     """
     return _batched(pos, batch, lambda p: _pairwise_edges(
         p, lambda d2: d2 <= float(r) ** 2, loop=loop))
@@ -83,18 +92,23 @@ def radius_graph(pos, r, batch=None, loop=False):
 def knn_graph(pos, k, batch=None, loop=False):
     """Edges j -> i for the k nearest neighbors j of each node i."""
 
-    def one(p):
+    def one(p, chunk=2048):
         p = np.asarray(p, np.float64)
         if p.ndim == 1:
             p = p[:, None]
-        d2 = np.sum((p[:, None, :] - p[None, :, :]) ** 2, axis=-1)
-        if not loop:
-            np.fill_diagonal(d2, np.inf)
-        kk = min(int(k), d2.shape[0] - (0 if loop else 1))
-        nbr = np.argpartition(d2, kk - 1, axis=1)[:, :kk]  # [n, k]
-        recv = np.repeat(np.arange(d2.shape[0]), kk)
-        send = nbr.reshape(-1)
-        return np.stack([send, recv]).astype(np.int32)
+        n = p.shape[0]
+        kk = min(int(k), n - (0 if loop else 1))
+        sends, recvs = [], []
+        for lo in range(0, n, chunk):  # row-chunked like _pairwise_edges
+            hi = min(lo + chunk, n)
+            d2 = _d2_rows(p, lo, hi)
+            if not loop:
+                d2[np.arange(hi - lo), np.arange(lo, hi)] = np.inf
+            nbr = np.argpartition(d2, kk - 1, axis=1)[:, :kk]  # [rows, k]
+            recvs.append(np.repeat(np.arange(lo, hi), kk))
+            sends.append(nbr.reshape(-1))
+        return np.stack([np.concatenate(sends),
+                         np.concatenate(recvs)]).astype(np.int32)
 
     return _batched(pos, batch, one)
 
@@ -189,7 +203,15 @@ def grid_edges(pde, x_grid, neighbors):
 
     Extension over the reference (which raises for unknown names): any other
     PDE falls back to the dimensionality-matched radius rule, so the GNN
-    path also runs on e.g. the twophase dataset."""
+    path also runs on e.g. the twophase dataset.
+
+    Deliberate divergence: the reference pads only the 1D radii with +1e-4
+    (``data_creator.py:126,135``) and leaves NS unpadded, so whether the
+    exact-boundary diagonal neighbors (distance == n*hypot(dx1,dx2)) make
+    it into the NS edge set depends on float rounding of the coordinates —
+    nondeterministic across grid sizes. The rule's intent is clearly to
+    include them (they define the radius), so the epsilon is applied in 2D
+    too, making the edge set deterministic."""
     pos = flat_positions(x_grid)
     name = f"{pde}"
     n = int(neighbors)
@@ -198,6 +220,6 @@ def grid_edges(pde, x_grid, neighbors):
     if name in ("NS",) or (name not in ("CE", "burgers", "DIV1D")
                            and pos.shape[1] == 2):
         r = n * float(np.hypot(pde.dx1, pde.dx2))
-        return radius_graph(pos, r)
+        return radius_graph(pos, r + 1e-4)
     dx = float(pos[1, 0] - pos[0, 0])
     return radius_graph(pos, n * dx + 1e-4)

@@ -76,7 +76,12 @@ class MemMapDataset:
             print("Overriding preprocess to False (no transforms specified, "
                   "or ragged storage -> transforms stay lazy)")
         if self.preprocess:
-            self.preprocess_dir = preprocess_path or os.path.join(path, "tmp")
+            # scratch-dir precedence: explicit arg > the CLI's crash-safe
+            # TemporaryDirectory (train_cli.cli exports it via env; the OS
+            # reaps it even on hard kill) > a tmp/ dir next to the data
+            self.preprocess_dir = (preprocess_path
+                                   or os.environ.get("NPS_TPU_SCRATCH_DIR")
+                                   or os.path.join(path, "tmp"))
             os.makedirs(self.preprocess_dir, exist_ok=True)
         else:
             self.preprocess_dir = None

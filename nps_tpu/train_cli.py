@@ -148,19 +148,28 @@ def main(args):
 
 def cli():
     """Parse args and run, with the reference's crash-safe envelope
-    (``src/train.py:175-187``): any exception — including KeyboardInterrupt
-    mid-preprocess — is held until scratch cleanup has run (the memmap
-    finalizers fire when the trainer/dataset go out of scope here), then
-    re-raised."""
+    (``src/train.py:175-187``) made load-bearing: the reference's tmpdir is
+    created and never used, while here MemMapDataset roots its preprocess
+    scratch memmaps in it (via NPS_TPU_SCRATCH_DIR, unless the config sets
+    an explicit preprocess_path) — so scratch is removed when the envelope
+    exits on any exception, and the OS tmp reaper covers even a hard kill.
+    The exception is held until cleanup has run, then re-raised."""
     import tempfile
 
     args = parse_args()
     exception = None
-    with tempfile.TemporaryDirectory():
+    with tempfile.TemporaryDirectory(prefix="nps_tpu_") as scratch:
+        prev = os.environ.get("NPS_TPU_SCRATCH_DIR")
+        os.environ["NPS_TPU_SCRATCH_DIR"] = scratch
         try:
             main(args)
         except (Exception, KeyboardInterrupt) as e:
             exception = e
+        finally:
+            if prev is None:
+                os.environ.pop("NPS_TPU_SCRATCH_DIR", None)
+            else:
+                os.environ["NPS_TPU_SCRATCH_DIR"] = prev
     if exception is None:
         print("Run finished!")
     else:

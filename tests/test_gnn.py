@@ -158,13 +158,21 @@ def test_create_graph_2d_edge_rule(rng):
     data = rng.normal(size=(b, 1, 3, pde.nx1, pde.nx2)).astype(np.float32)
     x = np.tile(pde.x[None], (b, 1, 1, 1))
     g = dc.create_graph(data, data, x, None, [3, 6])
-    # edge rule: radius n*hypot(dx1, dx2) — verify against brute force
+    # edge rule: radius n*hypot(dx1, dx2) + 1e-4 pad (deterministic
+    # inclusion of the exact-boundary diagonal neighbors — see
+    # graph.grid_edges docstring) — verify against brute force
     pos = G.flat_positions(pde.x)
-    r = 1 * np.hypot(pde.dx1, pde.dx2)
+    r = 1 * np.hypot(pde.dx1, pde.dx2) + 1e-4
     d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
     np.fill_diagonal(d, np.inf)
     expected_per_el = int((d <= r).sum())
     assert g.edge_index.shape[1] == b * expected_per_el
+    # interior nodes see all 8 neighbors (4 axial + 4 exact-boundary
+    # diagonal) — the determinism the pad buys
+    recv_all = g.edge_index[1]
+    deg = np.bincount(recv_all, minlength=b * nx)
+    interior = deg.reshape(b, pde.nx1, pde.nx2)[:, 1:-1, 1:-1]
+    assert (interior == 8).all()
     # and every edge respects the radius
     send, recv = g.edge_index[0] % nx, g.edge_index[1] % nx
     assert (np.linalg.norm(pos[send] - pos[recv], axis=1) <= r + 1e-6).all()

@@ -204,3 +204,25 @@ def test_training_improves_validation(dataset):
     v0 = stats0["Mean per-step loss"]
     v1 = stats1["Mean per-step loss"]
     assert v1 < v0, f"one-step validation did not improve: {v0} -> {v1}"
+
+
+def test_preprocess_scratch_env_dir(tmp_path, monkeypatch):
+    """MemMapDataset roots preprocess scratch in NPS_TPU_SCRATCH_DIR (the
+    CLI's crash-safe TemporaryDirectory) and the finalizer empties it."""
+    from nps_tpu.data.memmap_dataset import MemMapDataset
+
+    d = tmp_path / "data"
+    generate(str(d), n_sims=4, n_channels=2, nt=20, nx1=12, nx2=8, seed=3)
+    scratch = tmp_path / "scratch"
+    scratch.mkdir()
+    monkeypatch.setenv("NPS_TPU_SCRATCH_DIR", str(scratch))
+    ds = MemMapDataset(
+        str(d), data_format="memmap", data_file="snapshots",
+        conditioning="conditioning",
+        spatial_conditioning="spatial_conditioning", preprocess=True,
+        data_transform=lambda a: a[:1])
+    assert ds.preprocess_dir == str(scratch)
+    assert list(scratch.iterdir()), "no scratch memmaps written"
+    assert ds[0][1].shape[0] == 1  # transform applied eagerly
+    ds.cleanup()
+    assert not list(scratch.iterdir()), "finalizer left scratch files"

@@ -54,13 +54,33 @@ VARIANTS = {
 
 
 def main():
-    for name, opts in VARIANTS.items():
+    # argv: [variant ...] [--timeout=S] — default runs every variant
+    timeout = 1800
+    names = []
+    for a in sys.argv[1:]:
+        if a.startswith("--timeout="):
+            timeout = int(a.split("=", 1)[1])
+        else:
+            names.append(a)
+    unknown = [n for n in names if n not in VARIANTS]
+    if unknown:
+        sys.exit(f"unknown variant(s) {unknown}; "
+                 f"choose from {list(VARIANTS)}")
+    for name in names or list(VARIANTS):
+        opts = VARIANTS[name]
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-        proc = subprocess.run(
-            [sys.executable, "-c", CHILD.format(repo=REPO),
-             json.dumps(opts)],
-            cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", CHILD.format(repo=REPO),
+                 json.dumps(opts)],
+                cwd=REPO, env=env, capture_output=True, text=True,
+                timeout=timeout)
+        except subprocess.TimeoutExpired:
+            print(f"{name}: TIMEOUT after {timeout}s (compile never "
+                  "finished — impractical as a default either way)",
+                  flush=True)
+            continue
         line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT")]
         print(f"{name}: {line[0][7:] if line else 'FAILED'}", flush=True)
         if not line:
