@@ -57,6 +57,7 @@ def make_trainer(base_args):
         process_settings={},
         # TPU-native extensions (inert on the reference workloads):
         data_parallel=False,
+        device_cache=False,
         matmul_precision=None,
         compute_dtype=None,
         resume=False,

@@ -12,6 +12,7 @@ import threading
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 
 def collate(elements):
@@ -65,13 +66,19 @@ def device_put_batch(batch, sharding=None):
     leading (batch) dim across the mesh — the DP layer the reference lacks.
     """
     if sharding is None:
-        return jax.device_put(batch)
+        # leave device-resident arrays (e.g. DeviceCacheLoader gathers)
+        # alone: re-putting a committed array is NOT free on every
+        # platform (on axon it round-trips through the host)
+        return tuple(a if isinstance(a, jax.Array) else jax.device_put(a)
+                     for a in batch)
     if hasattr(sharding, "shard_batch"):  # GridBatchSharding (data x spatial)
         return sharding.shard_batch(batch)
     n_shards = len(sharding.mesh.devices.flat)
     out = []
     for a in batch:
-        if (a.ndim == 0 or a.shape[0] == 0 or a.size == 0
+        if isinstance(a, jax.Array) and a.sharding == sharding:
+            out.append(a)
+        elif (a.ndim == 0 or a.shape[0] == 0 or a.size == 0
                 or a.shape[0] % n_shards != 0):
             # remainder batches (batch % n_devices != 0) stay unsharded —
             # one extra jit specialization, correct metrics weighting
@@ -106,6 +113,73 @@ def prefetch_to_device(iterator, sharding=None, size=2):
                 raise err[0]
             return
         yield item
+
+
+class DeviceCacheLoader:
+    """Device-resident dataset cache: batches come from HBM gathers.
+
+    For fixed-shape datasets that fit device memory (the twophase train
+    split is ~GBs vs 16 GB HBM/chip), the whole split is staged onto the
+    device ONCE at construction; each epoch then shuffles indices on the
+    host and yields batches gathered on-device (``jnp.take`` per role) —
+    no per-batch host collate and no host->device trajectory copy. This is
+    a TPU-native layer the torch reference cannot express (its DataLoader
+    re-stages every batch, ``src/trainers/base.py:157-217``); it
+    eliminates the input-pipeline tax entirely on platforms where H2D
+    is expensive (e.g. tunneled devices).
+
+    Yields the same 6-tuple layout as :class:`HostDataLoader` + collate,
+    so trainers consume it unchanged (``device_put`` on an already
+    device-committed array is a no-op).
+    """
+
+    device_resident = True  # trainers skip the host-prefetch wrapper
+
+    def __init__(self, dataset, batch_size, shuffle=True, seed=0,
+                 drop_last=False, sharding=None):
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        n = len(dataset)
+        host = collate([dataset[i] for i in range(n)])
+
+        def put(a):
+            # shard the cache's element axis when the DP sharding divides
+            # it; otherwise stage unsharded (GridBatchSharding and ragged
+            # counts fall back — the jitted step reshards its inputs)
+            if (sharding is not None and hasattr(sharding, "mesh")
+                    and a.ndim > 0 and a.shape[0] > 0
+                    and a.shape[0] % len(sharding.mesh.devices.flat) == 0):
+                return jax.device_put(a, sharding)
+            return jax.device_put(a)
+
+        self._cache = tuple(put(a) for a in host)
+        self._n = n
+        self._gather = jax.jit(
+            lambda cache, idx: tuple(
+                a if a.shape[1:] == (0,) else jnp.take(a, idx, axis=0)
+                for a in cache))
+
+    def __len__(self):
+        if self.drop_last:
+            return self._n // self.batch_size
+        return (self._n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        order = np.arange(self._n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, self._n, self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            batch = self._gather(self._cache, jnp.asarray(idx))
+            # empty roles keep their [b, 0] host shape contract
+            yield tuple(
+                np.zeros((len(idx), 0), np.float32)
+                if b.shape[1:] == (0,) else b
+                for b in batch)
 
 
 class VariableTimeLoader:

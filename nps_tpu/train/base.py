@@ -256,6 +256,16 @@ class TrainInterface(metaclass=ABCMeta):
 
         kw = dict(batch_size=self.config.batch_size, shuffle=True,
                   seed=get_seed())
+        if getattr(self.config, "device_cache", False):
+            # stage the whole train split into HBM once; per-batch loading
+            # becomes an on-device gather (see pipeline.DeviceCacheLoader).
+            # eval splits stay host-loaded (visited once per test_interval)
+            from nps_tpu.data.pipeline import DeviceCacheLoader
+
+            return (DeviceCacheLoader(self.data.train, sharding=self.sharding,
+                                      **kw),
+                    HostDataLoader(self.data.valid, **kw),
+                    HostDataLoader(self.data.test, **kw))
         return (HostDataLoader(self.data.train, **kw),
                 HostDataLoader(self.data.valid, **kw),
                 HostDataLoader(self.data.test, **kw))
@@ -411,7 +421,9 @@ class TrainInterface(metaclass=ABCMeta):
         total_loss = jnp.zeros(())
         n_batches = 0
         n_samples = 0
-        it = prefetch_to_device(iter(loader), self.sharding)
+        it = (iter(loader)
+              if getattr(loader, "device_resident", False)
+              else prefetch_to_device(iter(loader), self.sharding))
         for batch_idx, batch in enumerate(it):
             loss, _ = self.train_step(batch, epoch, batch_idx, loader=loader)
             bs = util.get_batch_size(batch)
@@ -445,7 +457,9 @@ class TrainInterface(metaclass=ABCMeta):
         other_metrics = {}
         n_total = 0
         data_gt, data_pred, data_other = [], [], []
-        it = prefetch_to_device(iter(loader), self.sharding)
+        it = (iter(loader)
+              if getattr(loader, "device_resident", False)
+              else prefetch_to_device(iter(loader), self.sharding))
         for batch_idx, batch in enumerate(it):
             out = self.test_step(batch, batch_idx, use_train_loss_calc,
                                  include_data, **test_kwargs)

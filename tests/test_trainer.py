@@ -226,3 +226,50 @@ def test_preprocess_scratch_env_dir(tmp_path, monkeypatch):
     assert ds[0][1].shape[0] == 1  # transform applied eagerly
     ds.cleanup()
     assert not list(scratch.iterdir()), "finalizer left scratch files"
+
+
+def test_device_cache_loader_matches_host_loader(dataset):
+    """DeviceCacheLoader yields exactly HostDataLoader's batches (same
+    order under shuffle=False), gathered from the device-resident cache."""
+    from nps_tpu.data.pipeline import DeviceCacheLoader, HostDataLoader
+
+    h = HostDataLoader(dataset.train, 3, shuffle=False)
+    c = DeviceCacheLoader(dataset.train, 3, shuffle=False)
+    assert len(h) == len(c)
+    n = 0
+    for bh, bc in zip(h, c):
+        assert len(bh) == len(bc) == 6
+        for ah, ac in zip(bh, bc):
+            np.testing.assert_allclose(np.asarray(ac), ah, rtol=1e-6)
+        n += 1
+    assert n == len(h)
+
+
+def test_trainer_device_cache_flag(dataset):
+    """trainer.device_cache=True trains through the on-device gather path."""
+    model = models.activation_wrapper(
+        model_class="EncProcDec", activation_final=Tanh(),
+        enforce_spatial_cond=True, spatial_cond_channel=0,
+        approx_volume_preserve=True,
+        approx_volume_preserve_mode="individual_static", max_pct_dif=1 / TW,
+        num_c=1, num_spatial_dims=2, time_window=TW,
+        encoder="enc_grid.ElementWise", activation=GELU(),
+        processor="DilatedResnet", kernel_size=3, hidden_blocks=1,
+        hidden_features=8, padding_mode="circular",
+        decoder="dec_grid.TimeConvDense", dec_delta_mode="per_step",
+        pde=dataset.pde)
+    tr = AutoregressivePushforwardTrainer(
+        model=model, data=dataset,
+        criterion=build_criterion(object="nn.MSELoss", reduction="sum"),
+        optimizer=dict(object="optim.Adam", lr=1e-3), lr_scheduler=None,
+        time_window=TW, base_resolution=(NT, NX1, NX2), device="cpu",
+        batch_size=4, nr_gt_steps=1, nw=0, num_epochs=1, lr_step_interval=1,
+        unrolling=1, print_interval=1, test_interval=1, process_settings={},
+        device_cache=True)
+    loaders = tr.get_dataloaders()
+    from nps_tpu.data.pipeline import DeviceCacheLoader
+
+    assert isinstance(loaders[0], DeviceCacheLoader)
+    tr.ensure_initialized(loaders[0])
+    loss, n = tr.train_one_epoch(loaders[0], 1)
+    assert np.isfinite(loss) and n == len(dataset.train)
