@@ -10,7 +10,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
 is the depth-1 throughput (one no-grad model step + one grad step + Adam
 update, the mid-ramp production regime). The "extra" field carries the
 depth-0/8 numbers and a FLOPs-derived MFU (XLA cost analysis / v5e bf16
-peak 197 TFLOP/s).
+peak 197 TFLOP/s; depth>1 FLOPs corrected for cost analysis counting the
+pushforward scan body once — f(0) + d*(f(1) - f(0))).
 
 vs_baseline: ratio to the PyTorch reference running the same step on this
 host's CPU (the only reference hardware available here; measured by
@@ -173,9 +174,18 @@ def main():
 
     extra = {}
     sps1 = None
+    flops_by_depth = {}
     for depth in (0, 1, MAX_UNROLL):
         sps, flops, dt = bench_depth(trainer, device_batch, depth,
                                      n_steps=20 if depth < 8 else 8)
+        # XLA cost analysis counts the no-grad pushforward `lax.scan` body
+        # ONCE regardless of trip count; correct depth-d FLOPs to
+        # f(0) + d * f_fwd where f_fwd = f(1) - f(0) (one scan apply)
+        flops_by_depth[depth] = flops
+        if flops and depth > 1 and flops_by_depth.get(1) \
+                and flops_by_depth.get(0):
+            f_fwd = flops_by_depth[1] - flops_by_depth[0]
+            flops = flops_by_depth[0] + depth * f_fwd
         mfu = (flops / dt / V5E_BF16_PEAK_FLOPS if flops else None)
         extra[f"depth{depth}_samples_per_sec"] = round(sps, 3)
         if mfu:

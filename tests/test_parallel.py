@@ -155,3 +155,51 @@ def test_dp_train_step_matches_single_device(mesh, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(tr1.params)),
                     jax.tree_util.tree_leaves(jax.device_get(tr2.params))):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_device_cache_with_dp(mesh, tmp_path):
+    """device_cache=True composes with data_parallel=True: the split is
+    cached element-sharded over the mesh and an epoch trains to a finite
+    loss through the on-device gather path."""
+    import nps_tpu.models as models
+    from nps_tpu.data.pipeline import DeviceCacheLoader
+    from nps_tpu.data.synthetic import generate
+    from nps_tpu.data.pde2d import PDE2DDataset
+    from nps_tpu.models.activations import GELU, Tanh
+    from nps_tpu.train import AutoregressivePushforwardTrainer, build_criterion
+
+    d = tmp_path / "twophase"
+    generate(str(d), n_sims=20, n_channels=2, nt=21, nx1=16, nx2=16, seed=4)
+    dataset = PDE2DDataset(
+        base_path=str(tmp_path), experiment="twophase", data_format="memmap",
+        data_file="snapshots", conditioning="conditioning",
+        spatial_conditioning="spatial_conditioning", split_file="split",
+        c_filter=[1], name="twophase")
+    assert len(dataset.train) == 16  # divisible by the 8-device mesh
+    tw = 5
+    model = models.activation_wrapper(
+        model_class="EncProcDec", activation_final=Tanh(),
+        enforce_spatial_cond=True, spatial_cond_channel=0,
+        approx_volume_preserve=True,
+        approx_volume_preserve_mode="individual_static", max_pct_dif=1 / tw,
+        num_c=1, num_spatial_dims=2, time_window=tw,
+        encoder="enc_grid.ElementWise", activation=GELU(),
+        processor="DilatedResnet", kernel_size=3, hidden_blocks=1,
+        hidden_features=8, padding_mode="circular",
+        decoder="dec_grid.TimeConvDense", dec_delta_mode="per_step",
+        pde=dataset.pde)
+    tr = AutoregressivePushforwardTrainer(
+        model=model, data=dataset,
+        criterion=build_criterion(object="nn.MSELoss", reduction="sum"),
+        optimizer=dict(object="optim.Adam", lr=1e-3), lr_scheduler=None,
+        time_window=tw, base_resolution=(21, 16, 16), device="cpu",
+        batch_size=8, nr_gt_steps=1, nw=0, num_epochs=1, lr_step_interval=1,
+        unrolling=1, print_interval=1, test_interval=1, process_settings={},
+        data_parallel=True, device_cache=True)
+    loaders = tr.get_dataloaders()
+    assert isinstance(loaders[0], DeviceCacheLoader)
+    # the cache is element-sharded across the mesh's data axis
+    assert len(loaders[0]._cache[1].sharding.device_set) == 8
+    tr.ensure_initialized(loaders[0])
+    loss, n = tr.train_one_epoch(loaders[0], 1)
+    assert np.isfinite(loss) and n == 16
