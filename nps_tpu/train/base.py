@@ -257,15 +257,16 @@ class TrainInterface(metaclass=ABCMeta):
         kw = dict(batch_size=self.config.batch_size, shuffle=True,
                   seed=get_seed())
         if getattr(self.config, "device_cache", False):
-            # stage the whole train split into HBM once; per-batch loading
+            # stage all three splits into HBM once; per-batch loading
             # becomes an on-device gather (see pipeline.DeviceCacheLoader).
-            # eval splits stay host-loaded (visited once per test_interval)
+            # eval splits are ~10% the train size each and pay the same
+            # per-batch H2D tax every test_interval otherwise
             from nps_tpu.data.pipeline import DeviceCacheLoader
 
-            return (DeviceCacheLoader(self.data.train, sharding=self.sharding,
-                                      **kw),
-                    HostDataLoader(self.data.valid, **kw),
-                    HostDataLoader(self.data.test, **kw))
+            return tuple(
+                DeviceCacheLoader(split, sharding=self.sharding, **kw)
+                for split in (self.data.train, self.data.valid,
+                              self.data.test))
         return (HostDataLoader(self.data.train, **kw),
                 HostDataLoader(self.data.valid, **kw),
                 HostDataLoader(self.data.test, **kw))

@@ -262,6 +262,7 @@ def test_trainer_device_cache_flag(dataset):
         model=model, data=dataset,
         criterion=build_criterion(object="nn.MSELoss", reduction="sum"),
         optimizer=dict(object="optim.Adam", lr=1e-3), lr_scheduler=None,
+        save_path="/tmp/nps_tpu_test/cache_model",
         time_window=TW, base_resolution=(NT, NX1, NX2), device="cpu",
         batch_size=4, nr_gt_steps=1, nw=0, num_epochs=1, lr_step_interval=1,
         unrolling=1, print_interval=1, test_interval=1, process_settings={},
@@ -269,7 +270,10 @@ def test_trainer_device_cache_flag(dataset):
     loaders = tr.get_dataloaders()
     from nps_tpu.data.pipeline import DeviceCacheLoader
 
-    assert isinstance(loaders[0], DeviceCacheLoader)
-    tr.ensure_initialized(loaders[0])
-    loss, n = tr.train_one_epoch(loaders[0], 1)
-    assert np.isfinite(loss) and n == len(dataset.train)
+    assert all(isinstance(ld, DeviceCacheLoader) for ld in loaders)
+    # the full loop: pre-train sanity eval + epoch + validation all run
+    # through the cached (train) and cached (valid/test) gather paths
+    train_losses, val_losses, _ = tr.train()
+    assert len(train_losses) == 1 and np.isfinite(train_losses[0])
+    for v in jax.tree_util.tree_leaves(val_losses):
+        assert np.isfinite(float(v))
