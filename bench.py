@@ -36,7 +36,7 @@ T_RES = TW * (MAX_UNROLL + 2) + 1
 
 
 def build_trainer(compute_dtype="bfloat16", nx=NX, tw=TW, batch=BATCH,
-                  t_res=T_RES, model_kwargs=None):
+                  t_res=T_RES, model_kwargs=None, trainer_kwargs=None):
     """The real trainer + a device-resident synthetic batch (no loader).
 
     model_kwargs overrides the flagship U-FNO spec — used by
@@ -92,7 +92,7 @@ def build_trainer(compute_dtype="bfloat16", nx=NX, tw=TW, batch=BATCH,
         optimizer=dict(object="optim.Adam", lr=1e-4),
         time_window=tw, base_resolution=[t_res, nx, nx],
         unrolling=MAX_UNROLL, lr_step_interval=25, nr_gt_steps=1,
-        variable_time=False)
+        variable_time=False, **(trainer_kwargs or {}))
 
     u, cond, sc, pos = _example_batch(batch, tw, nx, nx, pde)
     rng = np.random.default_rng(1)

@@ -29,6 +29,8 @@ model = dict(
     hidden_features=128,
     hidden_blocks=6,
     aggregate="mean",
+    remat=True,  # [E, hidden] edge activations dominate GNN memory in 2D;
+    # per-layer remat keeps only [N, hidden] inputs (see models/gnn.py)
     dec_delta_mode="per_step",
 )
 

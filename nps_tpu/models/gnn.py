@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from nps_tpu.common.interfaces import D, M
+from nps_tpu.models import config as model_config
 from nps_tpu.models.activations import Swish, resolve_activation
 from nps_tpu.models.dec_grid import add_delta
 
@@ -61,12 +62,30 @@ class NodeElementWise(nn.Module):
         if variables_broadcast is not None:
             parts.append(variables_broadcast)
         h = jnp.concatenate(parts, axis=-1)
-        h = act(nn.Dense(self.hidden_features, name="encoder_0")(h))
-        return act(nn.Dense(self.hidden_features, name="encoder_2")(h))
+        dt = model_config.compute_dtype()
+        h = act(nn.Dense(self.hidden_features, dtype=dt,
+                         name="encoder_0")(h))
+        return act(nn.Dense(self.hidden_features, dtype=dt,
+                            name="encoder_2")(h))
 
 
 class MPGNNLayer(nn.Module):
-    """One message-passing step: edge MLP -> segment-sum -> node MLP."""
+    """One message-passing step: edge MLP -> segment-sum -> node MLP.
+
+    The edge MLP's first layer is ``Dense([h_i, h_j, pos_i - pos_j])``
+    conceptually, but it is computed in the project-then-gather form —
+    exactly equal by row-partitioning the weight matrix and linearity of
+    the (bias-free) position term::
+
+        W [h_i; h_j; p_i - p_j] + b
+            = (Wr h)[recv] + (Ws h)[send] + (Wp p)[recv] - (Wp p)[send] + b
+
+    so the projections run as [N, h] node-level matmuls (E/N ~ 8-60x
+    smaller than edge-level) and no [E, 2h+nd] concat or lane-padded
+    [E, nd] tensor ever materializes (measured on a 16x128^2-node batch,
+    radius-3 edges: the concat form needs 60+ GB — the [E,2] rel_pos
+    alone lane-pads 64x to 7.75 GB — vs ~2 GB per edge tensor here).
+    """
 
     hidden_features: int = 128
     activation: Any = Swish()
@@ -76,17 +95,25 @@ class MPGNNLayer(nn.Module):
     def __call__(self, h, pos, edge_index, degree_inv=None):
         act = resolve_activation(self.activation)
         send, recv = edge_index[0], edge_index[1]
-        rel_pos = pos[recv] - pos[send]
-        m = jnp.concatenate([h[recv], h[send], rel_pos], axis=-1)
-        m = act(nn.Dense(self.hidden_features, name="edge_0")(m))
-        m = act(nn.Dense(self.hidden_features, name="edge_2")(m))
+        dt = model_config.compute_dtype()
+        hr = nn.Dense(self.hidden_features, dtype=dt,
+                      name="edge_0_recv")(h)
+        hs = nn.Dense(self.hidden_features, use_bias=False, dtype=dt,
+                      name="edge_0_send")(h)
+        pp = nn.Dense(self.hidden_features, use_bias=False, dtype=dt,
+                      name="edge_0_pos")(pos)
+        m = act(hr[recv] + hs[send] + pp[recv] - pp[send])
+        m = act(nn.Dense(self.hidden_features, dtype=dt,
+                         name="edge_2")(m))
         agg = jax.ops.segment_sum(m, recv, num_segments=h.shape[0],
                                   indices_are_sorted=True)
         if self.aggregate == "mean" and degree_inv is not None:
             agg = agg * degree_inv[:, None]
         upd = jnp.concatenate([h, agg], axis=-1)
-        upd = act(nn.Dense(self.hidden_features, name="node_0")(upd))
-        upd = nn.Dense(self.hidden_features, name="node_2")(upd)
+        upd = act(nn.Dense(self.hidden_features, dtype=dt,
+                           name="node_0")(upd))
+        upd = nn.Dense(self.hidden_features, dtype=dt,
+                       name="node_2")(upd)
         return h + upd  # residual per layer
 
 
@@ -103,6 +130,11 @@ class MPGNN(nn.Module):
     n_cond: int = 0
     activation: Any = Swish()
     aggregate: str = "mean"
+    # rematerialize each message-passing layer in the backward pass: the
+    # edge-MLP activations are [E, hidden] (~4 GB/layer at 16x128^2 nodes,
+    # radius-3 edges) while the layer INPUT is only [N, hidden] (~67 MB) —
+    # without remat a 6-layer batch-16 backward cannot fit HBM
+    remat: bool = False
 
     @nn.compact
     def __call__(self, h, variables_broadcast=None, pos=None,
@@ -117,10 +149,13 @@ class MPGNN(nn.Module):
             degree_inv = jnp.where(deg > 0, 1.0 / deg, 0.0)
         if variables_broadcast is not None:
             h = jnp.concatenate([h, variables_broadcast], axis=-1)
-            h = nn.Dense(self.hidden_features, name="cond_proj")(h)
+            h = nn.Dense(self.hidden_features,
+                         dtype=model_config.compute_dtype(),
+                         name="cond_proj")(h)
+        layer_cls = nn.remat(MPGNNLayer) if self.remat else MPGNNLayer
         for i in range(self.hidden_blocks):
-            h = MPGNNLayer(self.hidden_features, self.activation,
-                           self.aggregate, name=f"mp_{i}")(
+            h = layer_cls(self.hidden_features, self.activation,
+                          self.aggregate, name=f"mp_{i}")(
                 h, pos, edge_index, degree_inv)
         return h
 
@@ -144,7 +179,9 @@ class NodeTimeConvDense(nn.Module):
                  pos=None, edge_index=None, batch=None):
         act = resolve_activation(self.activation)
         tw = self.time_window
-        h = nn.Dense(tw * 3 * self.num_c, name="pre_decoder")(h)
+        h = nn.Dense(tw * 3 * self.num_c,
+                     dtype=model_config.compute_dtype(),
+                     name="pre_decoder")(h)
 
         kernel_size_a = math.ceil(tw / 2)
         kernel_size_b = math.ceil(tw / 4) + 1
@@ -154,9 +191,11 @@ class NodeTimeConvDense(nn.Module):
         x = h.reshape((-1, self.num_c, tw * 3))      # (c, t) c-major
         x = jnp.swapaxes(x, 1, 2)                    # [N, tw*3, num_c]
         x = nn.Conv(self.num_c * 2, (kernel_size_a,), strides=(2,),
+                    dtype=model_config.compute_dtype(),
                     padding="VALID", name="decoder_0")(x)
         x = act(x)
         x = nn.Conv(self.num_c, (kernel_size_b,), padding="VALID",
+                    dtype=model_config.compute_dtype(),
                     name="decoder_2")(x)
         delta = jnp.swapaxes(x, 1, 2)                # [N, num_c, tw]
         # node tensors are [N, c, tw] = the grid layout with 0 spatial dims

@@ -38,14 +38,26 @@ def family_kwargs(name):
         return dict(data_structure="graph", encoder="gnn.NodeElementWise",
                     processor="MPGNN", decoder="gnn.NodeTimeConvDense",
                     hidden_features=128, hidden_blocks=6, aggregate="mean",
+                    remat=True,  # [E,128] edge activations x 6 layers
+                    # exceed HBM at batch 16 without it (layer inputs are
+                    # [N,128], so remat costs only edge-MLP recompute)
                     dec_delta_mode="per_step")
     raise ValueError(name)
 
 
 def main():
     for name in ("drn", "unet", "ufno", "ufno_fno", "gnn"):
+        # the GNN benches the shipped cfg_twophase_gnn edge rule
+        # (neighbors=2, ~29 edges/node at 128^2) at its largest fitting
+        # per-chip batch: 8 (temps 15.05 GB measured). Batch 16 exceeds
+        # HBM with or without remat — the [E, h] edge tensors are ~3.7 GB
+        # each at 15.4M edges; edge-chunked message passing is the
+        # BASELINE.md round-3 lead for larger per-chip batches.
+        tkw = dict(neighbors=2) if name == "gnn" else None
+        batch = 8 if name == "gnn" else bench.BATCH
         trainer, device_batch = bench.build_trainer(
-            model_kwargs=family_kwargs(name))
+            batch=batch, model_kwargs=family_kwargs(name),
+            trainer_kwargs=tkw)
         sps, flops, dt = bench.bench_depth(trainer, device_batch, unrolled=1,
                                            n_steps=10)
         row = {"metric": f"{name}_train_samples_per_sec_per_chip_128x128",
