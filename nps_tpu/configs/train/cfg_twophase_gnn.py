@@ -31,6 +31,8 @@ model = dict(
     aggregate="mean",
     remat=True,  # [E, hidden] edge activations dominate GNN memory in 2D;
     # per-layer remat keeps only [N, hidden] inputs (see models/gnn.py)
+    edge_chunks=1,  # >1 slices edge work into K rematted pieces — a
+    # capacity knob for when the edge set itself exceeds HBM (BASELINE.md)
     dec_delta_mode="per_step",
 )
 

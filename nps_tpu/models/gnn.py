@@ -90,6 +90,13 @@ class MPGNNLayer(nn.Module):
     hidden_features: int = 128
     activation: Any = Swish()
     aggregate: str = "mean"  # 'mean' | 'sum'
+    # process edges in K slices, accumulating the [N, h] aggregate between
+    # slices: peak edge-tensor memory drops from O(E) to O(E/K) in both
+    # passes (each slice is rematerialized in the backward). Edges are
+    # receiver-sorted globally, so every slice is a sorted slice and the
+    # per-slice segment_sums add up exactly (modulo float association).
+    # The effective K is the largest divisor of E <= edge_chunks.
+    edge_chunks: int = 1
 
     @nn.compact
     def __call__(self, h, pos, edge_index, degree_inv=None):
@@ -102,11 +109,32 @@ class MPGNNLayer(nn.Module):
                       name="edge_0_send")(h)
         pp = nn.Dense(self.hidden_features, use_bias=False, dtype=dt,
                       name="edge_0_pos")(pos)
-        m = act(hr[recv] + hs[send] + pp[recv] - pp[send])
-        m = act(nn.Dense(self.hidden_features, dtype=dt,
-                         name="edge_2")(m))
-        agg = jax.ops.segment_sum(m, recv, num_segments=h.shape[0],
-                                  indices_are_sorted=True)
+
+        def messages(mdl, hr, hs, pp, s, r):
+            act = resolve_activation(mdl.activation)
+            m = act(hr[r] + hs[s] + pp[r] - pp[s])
+            m = act(nn.Dense(mdl.hidden_features,
+                             dtype=model_config.compute_dtype(),
+                             name="edge_2")(m))  # shared across slices
+            return jax.ops.segment_sum(m, r, num_segments=hr.shape[0],
+                                       indices_are_sorted=True)
+
+        n_edges = int(send.shape[0])
+        k = max(1, min(int(self.edge_chunks), n_edges))
+        while n_edges % k:
+            k -= 1
+        if k == 1:
+            agg = messages(self, hr, hs, pp, send, recv)
+        else:
+            chunk_fn = nn.remat(messages)
+            agg = jnp.zeros_like(hr)
+            for s, r in zip(send.reshape(k, -1), recv.reshape(k, -1)):
+                # the barrier makes this chunk's indices depend on the
+                # previous accumulation: without it XLA's scheduler
+                # prefetches every chunk's gather concurrently (they only
+                # depend on hr/hs/pp) and peak memory reverts to O(E)
+                agg, s, r = jax.lax.optimization_barrier((agg, s, r))
+                agg = agg + chunk_fn(self, hr, hs, pp, s, r)
         if self.aggregate == "mean" and degree_inv is not None:
             agg = agg * degree_inv[:, None]
         upd = jnp.concatenate([h, agg], axis=-1)
@@ -135,6 +163,10 @@ class MPGNN(nn.Module):
     # radius-3 edges) while the layer INPUT is only [N, hidden] (~67 MB) —
     # without remat a 6-layer batch-16 backward cannot fit HBM
     remat: bool = False
+    # slice the per-layer edge work into K rematted chunks (see
+    # MPGNNLayer.edge_chunks): bounds edge memory to O(E/K), enabling
+    # batches whose full edge set exceeds HBM
+    edge_chunks: int = 1
 
     @nn.compact
     def __call__(self, h, variables_broadcast=None, pos=None,
@@ -155,8 +187,8 @@ class MPGNN(nn.Module):
         layer_cls = nn.remat(MPGNNLayer) if self.remat else MPGNNLayer
         for i in range(self.hidden_blocks):
             h = layer_cls(self.hidden_features, self.activation,
-                          self.aggregate, name=f"mp_{i}")(
-                h, pos, edge_index, degree_inv)
+                          self.aggregate, self.edge_chunks,
+                          name=f"mp_{i}")(h, pos, edge_index, degree_inv)
         return h
 
 
