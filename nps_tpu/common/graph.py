@@ -77,16 +77,27 @@ def _pairwise_edges(pos, mask_fn, loop=False, chunk=2048):
                      np.concatenate(recvs)]).astype(np.int32)
 
 
-def radius_graph(pos, r, batch=None, loop=False):
+def radius_graph(pos, r, batch=None, loop=False, max_num_neighbors=None):
     """Edges j -> i for all pairs with ``|x_i - x_j| <= r``.
 
     Parity with torch_cluster's ``radius_graph`` as used by the reference
     (``data_creator.py:124-136``). ``batch`` restricts edges to within each
     batch segment. Callers are expected to pad ``r`` by a small epsilon —
     see :func:`grid_edges` for why.
+
+    ``max_num_neighbors``: torch_cluster caps each node at 32 in-radius
+    neighbors by default (keeping the first 32 by node index, not the
+    nearest). We default to uncapped — exact ball graphs — because for the
+    regular grids the reference actually runs (neighbors<=2) the cap never
+    binds. Pass 32 for strict torch_cluster parity on denser point sets.
     """
-    return _batched(pos, batch, lambda p: _pairwise_edges(
-        p, lambda d2: d2 <= float(r) ** 2, loop=loop))
+    def mask(d2):
+        adj = d2 <= float(r) ** 2
+        if max_num_neighbors is not None:
+            adj &= np.cumsum(adj, axis=1) <= int(max_num_neighbors)
+        return adj
+
+    return _batched(pos, batch, lambda p: _pairwise_edges(p, mask, loop=loop))
 
 
 def knn_graph(pos, k, batch=None, loop=False):

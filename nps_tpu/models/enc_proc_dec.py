@@ -234,6 +234,9 @@ class EncProcDec(nn.Module):
             vb = (variables[graph.batch] if variables is not None else None)
             # normalize node positions by domain extent (:152-163)
             pos_in = graph.pos[:, 1:]  # drop the time column
+            assert pos_in.shape[-1] == self.num_spatial_dims, (
+                f"graph pos has {pos_in.shape[-1]} spatial dims, model "
+                f"expects {self.num_spatial_dims}")  # enc_proc_dec.py:147
             L = self.pde.L
             scale = (jnp.asarray(L, pos_in.dtype) if nd > 1
                      else jnp.asarray([L], pos_in.dtype))

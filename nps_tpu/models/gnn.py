@@ -175,10 +175,12 @@ class MPGNN(nn.Module):
         recv = edge_index[1]
         degree_inv = None
         if self.aggregate == "mean":
+            # degrees in f32: bf16 integer counts go inexact above 256 and
+            # 1/deg would round, biasing the mean at large-radius configs
             deg = jax.ops.segment_sum(
-                jnp.ones(recv.shape, h.dtype), recv,
+                jnp.ones(recv.shape, jnp.float32), recv,
                 num_segments=h.shape[0], indices_are_sorted=True)
-            degree_inv = jnp.where(deg > 0, 1.0 / deg, 0.0)
+            degree_inv = jnp.where(deg > 0, 1.0 / deg, 0.0).astype(h.dtype)
         if variables_broadcast is not None:
             h = jnp.concatenate([h, variables_broadcast], axis=-1)
             h = nn.Dense(self.hidden_features,

@@ -20,11 +20,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def init_distributed(**kwargs):
-    """Multi-host initialisation (DCN across slices); no-op if single-host."""
+    """Multi-host initialisation (DCN across slices).
+
+    Re-raises on failure: a misconfigured multi-host launch must die loudly,
+    not silently degrade to single-host training. The only swallowed case is
+    double-initialisation (idempotent re-entry).
+    """
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        print(f"[nps_tpu] jax.distributed.initialize FAILED: {e!r}")
+        raise
 
 
 def make_mesh(devices=None, axis_name="data"):

@@ -310,7 +310,7 @@ class TrainInterface(metaclass=ABCMeta):
         train_loader, valid_loader, test_loader = self.get_dataloaders()
         self.ensure_initialized(train_loader)
 
-        maybe_resumed = self.maybe_resume()
+        maybe_resumed = self.maybe_resume(train_loader=train_loader)
         if maybe_resumed:
             print(f"Resumed from checkpoint at epoch {self.start_epoch}")
 
@@ -320,6 +320,12 @@ class TrainInterface(metaclass=ABCMeta):
         fall_back = False
         train_losses = []
         min_val_loss = {name: float("inf") for name, _ in self.test_kwargs_list}
+        # continue best-model tracking across a resume: without this the
+        # first post-resume validation would overwrite the best export with
+        # a possibly-worse model
+        for name, v in getattr(self, "_resumed_min_val_loss", {}).items():
+            if name in min_val_loss:
+                min_val_loss[name] = v
         val_losses = {name: [] for name, _ in self.test_kwargs_list}
         val_stats_list = {name: [] for name, _ in self.test_kwargs_list}
         time_start = time.perf_counter()
@@ -407,7 +413,8 @@ class TrainInterface(metaclass=ABCMeta):
                 ckpt_every = getattr(self.config, "checkpoint_interval",
                                      self.config.test_interval)
                 if ckpt_every and (epoch + 1) % ckpt_every == 0:
-                    self.save_checkpoint(epoch + 1, min_val_loss)
+                    self.save_checkpoint(epoch + 1, min_val_loss,
+                                         train_loader=train_loader)
 
             if self.use_wandb:
                 wandb.log(epoch_log)
@@ -510,7 +517,7 @@ class TrainInterface(metaclass=ABCMeta):
     def _ckpt_path(self):
         return self.config.save_path + "_checkpoint.pkl"
 
-    def save_checkpoint(self, epoch, min_val_loss=None):
+    def save_checkpoint(self, epoch, min_val_loss=None, train_loader=None):
         """Full training state for preemption recovery (absent upstream)."""
         import random as py_random
 
@@ -524,6 +531,11 @@ class TrainInterface(metaclass=ABCMeta):
             np_random=np.random.get_state(),
             py_random=py_random.getstate(),
         )
+        # loader shuffle RNG: a resumed run continues the exact epoch
+        # permutation sequence instead of replaying from the base seed
+        rng = getattr(train_loader, "_rng", None)
+        if rng is not None:
+            state["loader_rng"] = rng.bit_generator.state
         path = self._ckpt_path()
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp"
@@ -532,7 +544,7 @@ class TrainInterface(metaclass=ABCMeta):
         os.replace(tmp, path)
         print(f"Saved checkpoint at {path} (epoch {epoch})")
 
-    def maybe_resume(self):
+    def maybe_resume(self, train_loader=None):
         import random as py_random
 
         if not getattr(self.config, "resume", False):
@@ -542,9 +554,22 @@ class TrainInterface(metaclass=ABCMeta):
             return False
         with open(path, "rb") as f:
             state = pickle.load(f)
-        self.params = jax.device_put(state["params"])
-        self.opt_state = jax.device_put(state["opt_state"])
+        if self.sharding is not None:
+            # re-place with the trainer's sharding (mirrors init_params):
+            # a bare device_put would commit to ONE device and break the
+            # data-parallel step's replicated-params assumption
+            from nps_tpu.parallel import replicate
+
+            self.params = replicate(state["params"], self.mesh)
+            self.opt_state = replicate(state["opt_state"], self.mesh)
+        else:
+            self.params = jax.device_put(state["params"])
+            self.opt_state = jax.device_put(state["opt_state"])
         self.start_epoch = state["epoch"]
+        self._resumed_min_val_loss = dict(state.get("min_val_loss", {}))
+        if train_loader is not None and "loader_rng" in state \
+                and getattr(train_loader, "_rng", None) is not None:
+            train_loader._rng.bit_generator.state = state["loader_rng"]
         if hasattr(self.lr_scheduler, "epoch"):
             self.lr_scheduler.epoch = state["lr_epoch"]
             self.opt_state = optim_lib.set_learning_rate(

@@ -98,6 +98,7 @@ class AutoregressivePushforwardTrainer(TrainInterface):
             t_resolution=config.base_resolution[0],
             x_resolution=config.base_resolution[1])
         self._graph_cache = {}
+        self._graph_hash = {}
 
     def _on_state_rebuilt(self):
         self._jit_cache = {}
@@ -120,10 +121,15 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         x0 = np.asarray(x)[0]
         sp = x0.shape[:-1] if x0.ndim > 1 else x0.shape
         key = (tuple(sp), int(batch_size))
-        if key in self._graph_cache:
+        # validate against grid *content*: a same-shape grid with different
+        # coordinates must not reuse stale edges (mirrors
+        # DataCreator.grid_edge_index's content hash)
+        chash = hash(x0.astype(np.float64).tobytes())
+        if self._graph_hash.get(key) == chash:
             return
         self._graph_cache[key] = G.build_static_structure(
             self.data.pde, x0, self.data_creator.n, int(batch_size))
+        self._graph_hash[key] = chash
 
     def _to_model_input(self, u0, x):
         if not self._is_gnn():

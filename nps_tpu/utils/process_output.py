@@ -30,10 +30,12 @@ def process_step(pde, model_interface, sim_prev, gtbc_prev, gtbc_next,
             set_min = set_min and process_settings["set_min"]
 
     # the GNN pipeline keeps data grid-shaped at trainer level (node
-    # conversion happens at the model boundary), so the grid logic covers
-    # both interfaces (reference's node-shaped branch: process_output.py:48)
+    # conversion happens at the model boundary), so the grid layout covers
+    # both interfaces — but the reference's per-interface rules are kept:
+    # set_bc applies only to AR_TB (process_output.py:33) and the GNN BC
+    # signal never references the model output (:48-49)
     if f"{pde}" == "DIV1D" and model_interface in (M.AR_TB, M.AR_TB_GNN):
-        if set_bc:
+        if set_bc and model_interface == M.AR_TB:
             sim_prev = set_bc_1d(0, 0, sim_prev, gtbc_prev)
         if set_min:
             mu_ne, sd_ne = pde.var_mean_sd[0]
@@ -46,8 +48,14 @@ def process_step(pde, model_interface, sim_prev, gtbc_prev, gtbc_next,
             sim_prev = set_min_values(min_dims, min_values, sim_prev)
         bc = None
         if get_bc:
-            bc = extract_bc_1d(0, 0, sim_prev=sim_prev, gtbc_prev=gtbc_prev,
-                               gtbc_next=gtbc_next, mode=pde.bc_mode)
+            if model_interface == M.AR_TB:
+                bc = extract_bc_1d(0, 0, sim_prev=sim_prev,
+                                   gtbc_prev=gtbc_prev, gtbc_next=gtbc_next,
+                                   mode=pde.bc_mode)
+            else:
+                bc = extract_bc_1d_simple(0, 0, gtbc_prev=gtbc_prev,
+                                          gtbc_next=gtbc_next,
+                                          mode=pde.bc_mode)
         return sim_prev, bc
     return sim_prev, None
 

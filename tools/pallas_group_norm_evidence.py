@@ -1,4 +1,11 @@
-"""Fused single-pass GroupNorm (num_groups=1) as a Pallas TPU kernel.
+"""NON-PRODUCTION EVIDENCE ARTIFACT — retired Pallas kernel.
+
+This kernel was built, benchmarked, and retired in round 2 (BASELINE.md
+"Pallas verdict": XLA's fused GN beat it on the real chip). It is kept in
+tools/ solely as the measured artifact behind that decision; nothing in
+nps_tpu imports it.
+
+Fused single-pass GroupNorm (num_groups=1) as a Pallas TPU kernel.
 
 XLA compiles the two-moment GroupNorm into two separate reduce fusions plus
 a normalize pass — three full HBM reads of the activation tensor per
