@@ -73,7 +73,10 @@ def device_put_batch(batch, sharding=None):
                      for a in batch)
     if hasattr(sharding, "shard_batch"):  # GridBatchSharding (data x spatial)
         return sharding.shard_batch(batch)
-    n_shards = len(sharding.mesh.devices.flat)
+    # divisibility only matters along the batch-sharded axis (a dp x tp
+    # mesh shards batches over "data" alone, not over all devices)
+    n_shards = dict(sharding.mesh.shape).get(
+        "data", len(sharding.mesh.devices.flat))
     out = []
     for a in batch:
         if isinstance(a, jax.Array) and a.sharding == sharding:

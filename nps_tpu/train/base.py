@@ -113,7 +113,22 @@ class TrainInterface(metaclass=ABCMeta):
         self.platform = self.device.platform
 
         n_spatial = int(getattr(self.config, "spatial_parallel", 0) or 0)
-        if n_spatial > 1:
+        n_tp = int(getattr(self.config, "tensor_parallel", 0) or 0)
+        self.tp = 0
+        if n_tp > 1:
+            # 2-D ("data", "model") mesh: batches shard on "data", weight
+            # out-feature dims on "model"; GSPMD inserts the weight
+            # all-gathers / grad reduce-scatters (nps_tpu.parallel.tensor)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from nps_tpu.parallel import make_dp_tp_mesh
+
+            devices = [d for d in jax.devices()
+                       if d.platform == self.device.platform]
+            self.mesh = make_dp_tp_mesh(n_tp, devices)
+            self.sharding = NamedSharding(self.mesh, P("data"))
+            self.tp = n_tp
+        elif n_spatial > 1:
             # 2-D ("data", "x") mesh: DP rows x spatially-sharded columns;
             # XLA GSPMD inserts halo exchanges / psums inside the jitted steps
             from nps_tpu.parallel import GridBatchSharding, make_grid_mesh
@@ -208,12 +223,24 @@ class TrainInterface(metaclass=ABCMeta):
                     if t_cond.size else jnp.asarray(t_cond)),
             spatial_cond=jnp.asarray(spatial_cond))
         if self.sharding is not None:
-            from nps_tpu.parallel import replicate
-
-            self.params = replicate(self.params, self.mesh)
+            self.params = self._place_state(self.params)
         if self.optimizer_spec is not None and self.tx is None:
             self._build_optimizer()
         return self.params
+
+    def _place_state(self, tree):
+        """Place a params/opt-state pytree per the trainer's parallel mode:
+        model-axis weight sharding under tensor parallelism, replication on
+        any other mesh, plain device placement otherwise."""
+        if self.mesh is None:
+            return jax.device_put(tree)
+        if self.tp > 1:
+            from nps_tpu.parallel import shard_params
+
+            return shard_params(tree, self.mesh)
+        from nps_tpu.parallel import replicate
+
+        return replicate(tree, self.mesh)
 
     def ensure_initialized(self, loader):
         if self.params is None:
@@ -554,17 +581,11 @@ class TrainInterface(metaclass=ABCMeta):
             return False
         with open(path, "rb") as f:
             state = pickle.load(f)
-        if self.sharding is not None:
-            # re-place with the trainer's sharding (mirrors init_params):
-            # a bare device_put would commit to ONE device and break the
-            # data-parallel step's replicated-params assumption
-            from nps_tpu.parallel import replicate
-
-            self.params = replicate(state["params"], self.mesh)
-            self.opt_state = replicate(state["opt_state"], self.mesh)
-        else:
-            self.params = jax.device_put(state["params"])
-            self.opt_state = jax.device_put(state["opt_state"])
+        # re-place with the trainer's sharding (mirrors init_params): a bare
+        # device_put would commit to ONE device and break the parallel
+        # step's replicated/sharded-params assumption
+        self.params = self._place_state(state["params"])
+        self.opt_state = self._place_state(state["opt_state"])
         self.start_epoch = state["epoch"]
         self._resumed_min_val_loss = dict(state.get("min_val_loss", {}))
         if train_loader is not None and "loader_rng" in state \
