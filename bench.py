@@ -197,6 +197,30 @@ def main():
     extra["rollout_bundled_steps_per_sec"] = round(rps, 3)
     extra["rollout_frames_per_sec"] = round(rps * TW * BATCH, 1)
 
+    # ---- ramp-weighted time-to-train estimate (the number a user feels) --
+    # The production run is 500 epochs with the pushforward ramp
+    # max_unroll = min(epoch // 25, 8), depth uniform in {0..max_unroll}
+    # (autoregressivepushforwardtrainer.py:78-82; lr_step_interval=25,
+    # unrolling=8 per cfg_twophase_ufno). Step time is linear in depth
+    # (d no-grad applies + 1 grad step): t(d) = t0 + d*(t1-t0) — verified
+    # by the depth-8 measurement (pred within 1%). Expected per-epoch step
+    # time at ramp level m is t0 + (t1-t0)*m/2; summing the schedule:
+    # 25 epochs at each m=0..7, the rest at m=8.
+    t0 = BATCH / extra["depth0_samples_per_sec"]
+    t1 = BATCH / extra["depth1_samples_per_sec"]
+    delta = t1 - t0
+    n_epochs, ramp_int, max_u = 500, 25, MAX_UNROLL
+    total = 0.0
+    for m in range(max_u):
+        total += ramp_int * (t0 + delta * m / 2)
+    total += (n_epochs - ramp_int * max_u) * (t0 + delta * max_u / 2)
+    ramp_sps = n_epochs * BATCH / total
+    extra["ramp_weighted_samples_per_sec"] = round(ramp_sps, 3)
+    # wall-clock for the full 500-epoch schedule per 1000 training samples
+    # (multiply by dataset_size/1000 for a concrete dataset)
+    extra["est_500epoch_hours_per_1k_samples"] = round(
+        n_epochs * 1000 / ramp_sps / 3600, 3)
+
     vs = (sps1 / REFERENCE_SAMPLES_PER_SEC
           if REFERENCE_SAMPLES_PER_SEC else None)
     print(json.dumps({

@@ -188,12 +188,19 @@ def flat_positions(x_grid):
 
 def build_static_structure(pde, x_grid, neighbors, batch_size,
                            edge_index=None):
-    """Host-side (edges, pos, batch) for jitted GNN paths.
+    """Host-side (edges, pos, batch, grid_meta) for jitted GNN paths.
 
     Built once per (grid, batch size) and closed over as constants by
     trainer/engine steps — the TPU-native replacement for the reference's
     per-batch ``create_graph``. The pos time column is fixed at 0 (the
-    model drops it; ``enc_proc_dec.py:152``)."""
+    model drops it; ``enc_proc_dec.py:152``).
+
+    ``grid_meta`` is the static structure for the shifted-grid message
+    passing fast path (``models/gnn.py``): ``(spatial_shape, offsets,
+    deltas)`` where every edge of the set is a constant integer grid
+    offset. It is only emitted when that equivalence is PROVEN (the
+    offset-derived edge set is compared against the actual one); knn
+    graphs and irregular grids get ``None`` and the gather path."""
     x0 = np.asarray(x_grid)
     pos_x = flat_positions(x0)
     nx = pos_x.shape[0]
@@ -204,7 +211,53 @@ def build_static_structure(pde, x_grid, neighbors, batch_size,
     pos = np.concatenate(
         [np.zeros((batch_size * nx, 1), np.float32),
          np.tile(pos_x, (batch_size, 1))], axis=1)
-    return edges, pos, batch
+    grid_meta = grid_offset_structure(x0, edge_index)
+    return edges, pos, batch, grid_meta
+
+
+def grid_offset_structure(x_grid, edge_index):
+    """Recognize a regular-grid edge set as constant integer offsets.
+
+    Returns ``(spatial_shape, offsets, deltas)`` — offsets as integer
+    tuples per spatial dim, deltas as the constant ``pos_recv - pos_send``
+    float tuples (same units as the graph pos) — or ``None`` when the edge
+    set is not offset-structured (knn ties, irregular spacing).
+    """
+    x0 = np.asarray(x_grid)
+    sp = tuple(x0.shape[:-1]) if x0.ndim > 1 else (x0.shape[0],)
+    nd = len(sp)
+    pos = flat_positions(x0)
+    if pos.shape[0] != int(np.prod(sp)):
+        return None
+    send, recv = np.asarray(edge_index[0]), np.asarray(edge_index[1])
+    # multi-index of every node in raster order
+    mi = np.stack(np.unravel_index(np.arange(pos.shape[0]), sp), axis=1)
+    diff = mi[send] - mi[recv]                      # sender = recv + offset
+    offsets = np.unique(diff, axis=0)
+    # rebuild the edge set from the offsets and require exact equality
+    have = set(zip(send.tolist(), recv.tolist()))
+    want = set()
+    grids = np.stack(np.meshgrid(*[np.arange(s) for s in sp],
+                                 indexing="ij"), axis=-1).reshape(-1, nd)
+    for off in offsets:
+        si = grids + off
+        ok = np.all((si >= 0) & (si < np.asarray(sp)), axis=1)
+        s_flat = np.ravel_multi_index(tuple(si[ok].T), sp)
+        r_flat = np.ravel_multi_index(tuple(grids[ok].T), sp)
+        want.update(zip(s_flat.tolist(), r_flat.tolist()))
+    if want != have:
+        return None
+    # deltas: pos_recv - pos_send must be constant per offset — verify on
+    # one representative edge per offset and on spacing regularity
+    deltas = []
+    for off in offsets:
+        sel = np.all(diff == off, axis=1)
+        d = pos[recv[sel]] - pos[send[sel]]
+        if not np.allclose(d, d[0], atol=1e-5):
+            return None
+        deltas.append(tuple(float(v) for v in d[0]))
+    offsets = tuple(tuple(int(v) for v in off) for off in offsets)
+    return sp, offsets, tuple(deltas)
 
 
 def grid_edges(pde, x_grid, neighbors):

@@ -59,11 +59,11 @@ class SurrogateEngine:
             from nps_tpu.common import graph as G
 
             b, sp = u.shape[0], u.shape[3:]
-            edges, pos_n, batch = self._graph_cache[int(b)]
+            edges, pos_n, batch, meta = self._graph_cache[int(b)]
             g = G.GridGraph(nodes=G.grid_to_nodes(u), edge_index=edges,
                             pos=pos_n, batch=batch)
             out = self.model.apply(params, g, cond=cond, pos=pos,
-                                   spatial_cond=spatial_cond)
+                                   spatial_cond=spatial_cond, grid_meta=meta)
             return G.nodes_to_grid(out, b, sp)
         return self.model.apply(params, u, cond=cond, pos=pos,
                                 spatial_cond=spatial_cond)
@@ -115,7 +115,7 @@ class SurrogateEngine:
             from nps_tpu.common import graph as G
 
             self._ensure_graph(u0.shape[0])
-            edges, pos_n, batch = self._graph_cache[int(u0.shape[0])]
+            edges, pos_n, batch, _ = self._graph_cache[int(u0.shape[0])]
             u_in = G.GridGraph(nodes=G.grid_to_nodes(u_in), edge_index=edges,
                                pos=pos_n, batch=batch)
         self.params = jax.jit(self.model.init)(

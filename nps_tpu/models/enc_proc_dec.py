@@ -171,7 +171,12 @@ class EncProcDec(nn.Module):
 
     @nn.compact
     def __call__(self, u, cond=None, bc=None, pos=None, t_cond=None,
-                 spatial_cond=None):
+                 spatial_cond=None, grid_meta=None):
+        """``grid_meta``: optional STATIC (plain-Python) regular-grid
+        structure from :func:`nps_tpu.common.graph.grid_offset_structure`,
+        enabling the shifted-grid message-passing fast path in graph
+        processors. Must never be traced — pass it only from host code
+        that closes over it (the trainer/engine do)."""
         assert self.data_structure in ("grid", "graph")
 
         def check_none(x):
@@ -242,6 +247,16 @@ class EncProcDec(nn.Module):
                      else jnp.asarray([L], pos_in.dtype))
             pos_in = pos_in / scale
             extra = dict(edge_index=graph.edge_index, batch=graph.batch)
+            if grid_meta is not None:
+                # normalize the constant per-offset position deltas exactly
+                # like pos (domain-extent division), host-side so they stay
+                # static python floats
+                sp_m, offsets, deltas = grid_meta
+                Ls = (list(L) if nd > 1 else [L])
+                deltas_n = tuple(
+                    tuple(float(d) / float(s) for d, s in zip(dd, Ls))
+                    for dd in deltas)
+                extra["grid_meta"] = (tuple(sp_m), offsets, deltas_n)
 
         if vb is not None:
             # keep the cond tensor in the compute dtype so concats downstream

@@ -36,9 +36,27 @@ from nps_tpu.models.activations import Swish, resolve_activation
 from nps_tpu.models.dec_grid import add_delta
 
 
+import numpy as np
+
+
 def _flatten_nodes(u):
     """[N, c, tw] -> [N, c*tw] (torch-flatten channel order)."""
     return u.reshape(u.shape[0], -1)
+
+
+def _shift_slices(sp, off):
+    """Slices implementing sender = receiver + off on an sp-shaped grid.
+
+    Returns (src, dst, valid): ``out[dst] = x[src]`` writes each in-bounds
+    sender's value at its receiver's position; ``valid`` indexes the
+    receivers that have an in-bounds sender for this offset.
+    """
+    src, dst = [], []
+    for s, d in zip(sp, off):
+        lo, hi = max(d, 0), s + min(d, 0)
+        src.append(slice(lo, hi))
+        dst.append(slice(lo - d, hi - d))
+    return tuple(src), tuple(dst), tuple(dst)
 
 
 class NodeElementWise(nn.Module):
@@ -54,7 +72,7 @@ class NodeElementWise(nn.Module):
 
     @nn.compact
     def __call__(self, u, pos=None, variables_broadcast=None,
-                 edge_index=None, batch=None):
+                 edge_index=None, batch=None, grid_meta=None):
         act = resolve_activation(self.activation)
         parts = [_flatten_nodes(u)]
         if pos is not None:
@@ -99,7 +117,7 @@ class MPGNNLayer(nn.Module):
     edge_chunks: int = 1
 
     @nn.compact
-    def __call__(self, h, pos, edge_index, degree_inv=None):
+    def __call__(self, h, pos, edge_index, degree_inv=None, grid_meta=None):
         act = resolve_activation(self.activation)
         send, recv = edge_index[0], edge_index[1]
         dt = model_config.compute_dtype()
@@ -107,34 +125,65 @@ class MPGNNLayer(nn.Module):
                       name="edge_0_recv")(h)
         hs = nn.Dense(self.hidden_features, use_bias=False, dtype=dt,
                       name="edge_0_send")(h)
-        pp = nn.Dense(self.hidden_features, use_bias=False, dtype=dt,
-                      name="edge_0_pos")(pos)
+        pos_proj = nn.Dense(self.hidden_features, use_bias=False, dtype=dt,
+                            name="edge_0_pos")
 
-        def messages(mdl, hr, hs, pp, s, r):
-            act = resolve_activation(mdl.activation)
-            m = act(hr[r] + hs[s] + pp[r] - pp[s])
-            m = act(nn.Dense(mdl.hidden_features,
-                             dtype=model_config.compute_dtype(),
-                             name="edge_2")(m))  # shared across slices
-            return jax.ops.segment_sum(m, r, num_segments=hr.shape[0],
-                                       indices_are_sorted=True)
-
-        n_edges = int(send.shape[0])
-        k = max(1, min(int(self.edge_chunks), n_edges))
-        while n_edges % k:
-            k -= 1
-        if k == 1:
-            agg = messages(self, hr, hs, pp, send, recv)
+        if grid_meta is not None:
+            # shifted-grid fast path: on a regular grid every edge is a
+            # constant integer offset, so gather(sender) is a masked shift
+            # of the node grid and Wp(pos_r - pos_s) a constant per-offset
+            # vector (linearity; bias-free projection). No [E, C] gathers,
+            # no scatter — measured 7.3x faster per layer than the
+            # gather/segment_sum form at 8x128^2/C=128/neighbors=2
+            # (tools/bench_gnn_roll.py). Identical math modulo float
+            # association; equality-tested in tests/test_gnn.py.
+            sp, offsets, deltas = grid_meta
+            edge2 = nn.Dense(self.hidden_features, dtype=dt, name="edge_2")
+            b = h.shape[0] // int(np.prod(sp))
+            c = hr.shape[-1]
+            gshape = (b,) + tuple(sp) + (c,)
+            hr_g = hr.reshape(gshape)
+            hs_g = hs.reshape(gshape)
+            # [K, nd] constant position deltas -> [K, C] FiLM-like biases
+            pp_delta = pos_proj(jnp.asarray(deltas, jnp.float32))
+            agg = jnp.zeros_like(hr_g)
+            for kk, off in enumerate(offsets):
+                src, dst, valid = _shift_slices(sp, off)
+                shifted = jnp.zeros_like(hs_g)
+                shifted = shifted.at[(slice(None),) + dst].set(
+                    hs_g[(slice(None),) + src])
+                m = act(hr_g + shifted + pp_delta[kk])
+                m = act(edge2(m))
+                mask = jnp.zeros(tuple(sp), m.dtype).at[valid].set(1)
+                agg = agg + m * mask[None, ..., None]
+            agg = agg.reshape(h.shape[0], c)
         else:
-            chunk_fn = nn.remat(messages)
-            agg = jnp.zeros_like(hr)
-            for s, r in zip(send.reshape(k, -1), recv.reshape(k, -1)):
-                # the barrier makes this chunk's indices depend on the
-                # previous accumulation: without it XLA's scheduler
-                # prefetches every chunk's gather concurrently (they only
-                # depend on hr/hs/pp) and peak memory reverts to O(E)
-                agg, s, r = jax.lax.optimization_barrier((agg, s, r))
-                agg = agg + chunk_fn(self, hr, hs, pp, s, r)
+            def messages(mdl, hr, hs, pp, s, r):
+                act = resolve_activation(mdl.activation)
+                m = act(hr[r] + hs[s] + pp[r] - pp[s])
+                m = act(nn.Dense(mdl.hidden_features,
+                                 dtype=model_config.compute_dtype(),
+                                 name="edge_2")(m))  # shared across slices
+                return jax.ops.segment_sum(m, r, num_segments=hr.shape[0],
+                                           indices_are_sorted=True)
+
+            pp = pos_proj(pos)
+            n_edges = int(send.shape[0])
+            k = max(1, min(int(self.edge_chunks), n_edges))
+            while n_edges % k:
+                k -= 1
+            if k == 1:
+                agg = messages(self, hr, hs, pp, send, recv)
+            else:
+                chunk_fn = nn.remat(messages)
+                agg = jnp.zeros_like(hr)
+                for s, r in zip(send.reshape(k, -1), recv.reshape(k, -1)):
+                    # the barrier makes this chunk's indices depend on the
+                    # previous accumulation: without it XLA's scheduler
+                    # prefetches every chunk's gather concurrently (they only
+                    # depend on hr/hs/pp) and peak memory reverts to O(E)
+                    agg, s, r = jax.lax.optimization_barrier((agg, s, r))
+                    agg = agg + chunk_fn(self, hr, hs, pp, s, r)
         if self.aggregate == "mean" and degree_inv is not None:
             agg = agg * degree_inv[:, None]
         upd = jnp.concatenate([h, agg], axis=-1)
@@ -170,7 +219,7 @@ class MPGNN(nn.Module):
 
     @nn.compact
     def __call__(self, h, variables_broadcast=None, pos=None,
-                 edge_index=None, batch=None):
+                 edge_index=None, batch=None, grid_meta=None):
         assert edge_index is not None, "MPGNN needs graph edges"
         recv = edge_index[1]
         degree_inv = None
@@ -186,11 +235,13 @@ class MPGNN(nn.Module):
             h = nn.Dense(self.hidden_features,
                          dtype=model_config.compute_dtype(),
                          name="cond_proj")(h)
-        layer_cls = nn.remat(MPGNNLayer) if self.remat else MPGNNLayer
+        layer_cls = nn.remat(MPGNNLayer, static_argnums=(5,)) \
+            if self.remat else MPGNNLayer
         for i in range(self.hidden_blocks):
             h = layer_cls(self.hidden_features, self.activation,
                           self.aggregate, self.edge_chunks,
-                          name=f"mp_{i}")(h, pos, edge_index, degree_inv)
+                          name=f"mp_{i}")(h, pos, edge_index, degree_inv,
+                                          grid_meta)
         return h
 
 
@@ -210,7 +261,7 @@ class NodeTimeConvDense(nn.Module):
 
     @nn.compact
     def __call__(self, h, u, variables=None, variables_broadcast=None,
-                 pos=None, edge_index=None, batch=None):
+                 pos=None, edge_index=None, batch=None, grid_meta=None):
         act = resolve_activation(self.activation)
         tw = self.time_window
         h = nn.Dense(tw * 3 * self.num_c,

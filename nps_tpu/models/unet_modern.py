@@ -32,9 +32,16 @@ from nps_tpu.models.common import (ConvND, ConvTransposeND, Dense, crop_nd,
                                    group_norm)
 
 
-def _padding_kwargs(padding_mode):
+# bench-only shape mock (tools/bench_align_ab.py): roles listed here get
+# 'ones' geometry regardless of padding_mode, to measure the layout-alignment
+# ceiling per U-Net region before building the exact aligned path. Empty in
+# production — zero behavior change.
+_MOCK_ONES_ROLES = set()
+
+
+def _padding_kwargs(padding_mode, role=None):
     assert padding_mode in ("ones", "circular")
-    if padding_mode == "ones":
+    if padding_mode == "ones" or role in _MOCK_ONES_ROLES:
         # zero padding of 1 (torch `padding=1`)
         return dict(padding=1, padding_mode="zeros")
     # torch passes padding_mode='circular' with padding=0 -> effectively VALID
@@ -51,6 +58,7 @@ class ResidualBlock(nn.Module):
     n_groups: int = 1
     num_spatial_dims: int = 1
     padding_mode: str = "ones"
+    role: str = None  # bench mock tag only (see _MOCK_ONES_ROLES)
 
     @nn.compact
     def __call__(self, x):
@@ -58,7 +66,7 @@ class ResidualBlock(nn.Module):
         joint, convs use kernel slices — identical math to concatenating,
         but the wide tensor never materializes; see models/common.py)."""
         act = resolve_activation(self.activation)
-        pk = _padding_kwargs(self.padding_mode)
+        pk = _padding_kwargs(self.padding_mode, self.role)
         nd = self.num_spatial_dims
 
         def norm_layer(name):
@@ -148,7 +156,8 @@ class DownBlock(nn.Module):
         x = ResidualBlock(self.in_channels, self.out_channels,
                           activation=self.activation, norm=self.norm,
                           num_spatial_dims=self.num_spatial_dims,
-                          padding_mode=self.padding_mode, name="res")(x)
+                          padding_mode=self.padding_mode, role="down",
+                          name="res")(x)
         if self.has_attn:
             x = AttentionBlock(self.out_channels, name="attn")(x)
         return x, variables_broadcast
@@ -170,7 +179,8 @@ class UpBlock(nn.Module):
                           self.out_channels, activation=self.activation,
                           norm=self.norm,
                           num_spatial_dims=self.num_spatial_dims,
-                          padding_mode=self.padding_mode, name="res")(x)
+                          padding_mode=self.padding_mode, role="up",
+                          name="res")(x)
         if self.has_attn:
             x = AttentionBlock(self.out_channels, name="attn")(x)
         return x
@@ -192,13 +202,15 @@ class MiddleBlock(nn.Module):
         x = ResidualBlock(self.in_channels, self.out_channels,
                           activation=self.activation, norm=self.norm,
                           num_spatial_dims=self.num_spatial_dims,
-                          padding_mode=self.padding_mode, name="res1")(x)
+                          padding_mode=self.padding_mode, role="mid",
+                          name="res1")(x)
         if self.has_attn:
             x = AttentionBlock(self.out_channels, name="attn")(x)
         x = ResidualBlock(self.out_channels, self.out_channels,
                           activation=self.activation, norm=self.norm,
                           num_spatial_dims=self.num_spatial_dims,
-                          padding_mode=self.padding_mode, name="res2")(x)
+                          padding_mode=self.padding_mode, role="mid",
+                          name="res2")(x)
         return x, variables_broadcast
 
 
@@ -212,7 +224,7 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x, variables_broadcast=None):
-        pk = _padding_kwargs(self.padding_mode)
+        pk = _padding_kwargs(self.padding_mode, "downsample")
         nd = self.num_spatial_dims
         y = ConvND(self.n_channels, 3, nd, strides=2, name="conv", **pk)(x)
         if variables_broadcast is not None:
@@ -232,7 +244,7 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         nd = self.num_spatial_dims
-        if self.padding_mode == "circular":
+        if self.padding_mode == "circular" and "upsample" not in _MOCK_ONES_ROLES:
             # ConvTranspose2d_padded: circular pad (k-1)//2 then transpose conv
             return ConvTransposeND(self.n_channels, 4, nd, strides=2,
                                    pre_pad=1, name="conv")(x)
@@ -347,6 +359,6 @@ class UNetModern(nn.Module):
             h = ConvND(self.hidden_features, 1, nd, padding="valid",
                        name="final")(h)
         else:
-            pk = _padding_kwargs(self.padding_mode)
+            pk = _padding_kwargs(self.padding_mode, "final")
             h = ConvND(self.hidden_features, 3, nd, name="final", **pk)(h)
         return crop_nd(h, h_shape, nd)

@@ -138,7 +138,8 @@ class AutoregressivePushforwardTrainer(TrainInterface):
 
         b = u0.shape[0]
         self._ensure_graph_static(x, b)
-        edges, pos_n, batch = self._graph_cache[(tuple(u0.shape[3:]), int(b))]
+        edges, pos_n, batch, _ = self._graph_cache[(tuple(u0.shape[3:]),
+                                                    int(b))]
         return G.GridGraph(nodes=G.grid_to_nodes(u0), edge_index=edges,
                            pos=pos_n, batch=batch)
 
@@ -150,12 +151,15 @@ class AutoregressivePushforwardTrainer(TrainInterface):
 
             b = data.shape[0]
             sp = data.shape[3:]
-            edges, pos_n, batch = self._graph_cache[(tuple(sp), int(b))]
+            edges, pos_n, batch, meta = self._graph_cache[(tuple(sp), int(b))]
             graph = G.GridGraph(
                 nodes=G.grid_to_nodes(data), edge_index=edges, pos=pos_n,
                 batch=batch)
+            # grid_meta stays a host-side constant closed over by the trace
+            # (the shifted-grid message-passing fast path)
             out = self.model.apply(params, graph, cond=cond, bc=bc, pos=pos,
-                                   t_cond=t_cond, spatial_cond=spatial_cond)
+                                   t_cond=t_cond, spatial_cond=spatial_cond,
+                                   grid_meta=meta)
             return G.nodes_to_grid(out, b, sp)
         return self.model.apply(params, data, cond=cond, bc=bc, pos=pos,
                                 t_cond=t_cond, spatial_cond=spatial_cond)

@@ -382,3 +382,50 @@ def test_mpgnn_edge_chunks_match_unchunked(rng):
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_grid_meta_roll_path_matches_gather():
+    """The shifted-grid message-passing fast path must equal the
+    gather/segment_sum path bit-for-bit in f32 (same params, same graph)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nps_tpu.common import graph as G
+    from nps_tpu.models.gnn import MPGNN
+    from nps_tpu.pde import PDE2D
+
+    nx1, nx2, b, c = 12, 10, 3, 16
+    pde = PDE2D(tmin=0, tmax=1, nt=11, L1=1.0, L2=0.8, nx1=nx1, nx2=nx2,
+                x=None, name="NS", n_cond_static=0)
+    edges, pos_n, batch, meta = G.build_static_structure(
+        pde, pde.x, neighbors=2, batch_size=b)
+    assert meta is not None, "regular grid must be offset-structured"
+    sp, offsets, deltas = meta
+    assert sp == (nx1, nx2)
+
+    m = MPGNN(hidden_features=c, hidden_blocks=2, num_spatial_dims=2)
+    rng = np.random.default_rng(3)
+    h = rng.standard_normal((b * nx1 * nx2, c)).astype(np.float32)
+    pos = pos_n[:, 1:]
+    params = m.init(jax.random.PRNGKey(0), h, pos=pos, edge_index=edges)
+
+    out_gather = jax.jit(
+        lambda p, h: m.apply(p, h, pos=pos, edge_index=edges))(params, h)
+    out_roll = jax.jit(
+        lambda p, h: m.apply(p, h, pos=pos, edge_index=edges,
+                             grid_meta=meta))(params, h)
+    np.testing.assert_allclose(np.asarray(out_roll), np.asarray(out_gather),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_grid_offset_structure_rejects_knn_ties():
+    """knn graphs (WE rule) are not offset-structured when k breaks grid
+    symmetry; the recognizer must return None rather than mis-structure."""
+    from nps_tpu.common import graph as G
+    from nps_tpu.pde import PDE1D
+
+    pde = PDE1D(tmin=0, tmax=1, nt=11, L=1.0, nx=16, x=None, name="WE",
+                n_cond_static=0)
+    ei = G.grid_edges(pde, pde.x, 3)  # k=3: one-sided tie-break somewhere
+    meta = G.grid_offset_structure(pde.x, ei)
+    assert meta is None
