@@ -47,16 +47,16 @@ def _flatten_nodes(u):
 def _shift_slices(sp, off):
     """Slices implementing sender = receiver + off on an sp-shaped grid.
 
-    Returns (src, dst, valid): ``out[dst] = x[src]`` writes each in-bounds
-    sender's value at its receiver's position; ``valid`` indexes the
-    receivers that have an in-bounds sender for this offset.
+    Returns (src, dst): ``out[dst] = x[src]`` writes each in-bounds
+    sender's value at its receiver's position; ``dst`` also indexes the
+    receivers that have an in-bounds sender for this offset (the mask).
     """
     src, dst = [], []
     for s, d in zip(sp, off):
         lo, hi = max(d, 0), s + min(d, 0)
         src.append(slice(lo, hi))
         dst.append(slice(lo - d, hi - d))
-    return tuple(src), tuple(dst), tuple(dst)
+    return tuple(src), tuple(dst)
 
 
 class NodeElementWise(nn.Module):
@@ -133,10 +133,14 @@ class MPGNNLayer(nn.Module):
             # constant integer offset, so gather(sender) is a masked shift
             # of the node grid and Wp(pos_r - pos_s) a constant per-offset
             # vector (linearity; bias-free projection). No [E, C] gathers,
-            # no scatter — measured 7.3x faster per layer than the
-            # gather/segment_sum form at 8x128^2/C=128/neighbors=2
-            # (tools/bench_gnn_roll.py). Identical math modulo float
-            # association; equality-tested in tests/test_gnn.py.
+            # no scatter (the shift is slice+pad: scatter HLO here blew
+            # the compile to 40+ min). Measured at 8x128^2/C=128/
+            # neighbors=2: 19 ms/layer fwd+bwd vs ~200 gather — and end
+            # to end through the shipped trainer step, 44.4 vs 3.43
+            # samples/s (13x, no remat needed: the edge tensors that
+            # forced remat/batch-8 on the gather path don't exist).
+            # Identical math modulo float association; equality-tested in
+            # tests/test_gnn.py.
             sp, offsets, deltas = grid_meta
             edge2 = nn.Dense(self.hidden_features, dtype=dt, name="edge_2")
             b = h.shape[0] // int(np.prod(sp))
@@ -148,14 +152,19 @@ class MPGNNLayer(nn.Module):
             pp_delta = pos_proj(jnp.asarray(deltas, jnp.float32))
             agg = jnp.zeros_like(hr_g)
             for kk, off in enumerate(offsets):
-                src, dst, valid = _shift_slices(sp, off)
-                shifted = jnp.zeros_like(hs_g)
-                shifted = shifted.at[(slice(None),) + dst].set(
-                    hs_g[(slice(None),) + src])
+                src, dst = _shift_slices(sp, off)
+                # shift = slice + zero-pad (no scatter: friendlier HLO)
+                pads = [(0, 0)]
+                for s, d in zip(sp, off):
+                    lo, hi = max(d, 0), s + min(d, 0)
+                    pads.append((lo - d, s - (hi - d)))
+                pads.append((0, 0))
+                shifted = jnp.pad(hs_g[(slice(None),) + src], pads)
                 m = act(hr_g + shifted + pp_delta[kk])
                 m = act(edge2(m))
-                mask = jnp.zeros(tuple(sp), m.dtype).at[valid].set(1)
-                agg = agg + m * mask[None, ..., None]
+                mask = np.zeros(tuple(sp), np.float32)
+                mask[dst] = 1.0  # host constant
+                agg = agg + m * jnp.asarray(mask, m.dtype)[None, ..., None]
             agg = agg.reshape(h.shape[0], c)
         else:
             def messages(mdl, hr, hs, pp, s, r):

@@ -38,9 +38,10 @@ def family_kwargs(name):
         return dict(data_structure="graph", encoder="gnn.NodeElementWise",
                     processor="MPGNN", decoder="gnn.NodeTimeConvDense",
                     hidden_features=128, hidden_blocks=6, aggregate="mean",
-                    remat=True,  # [E,128] edge activations x 6 layers
-                    # exceed HBM at batch 16 without it (layer inputs are
-                    # [N,128], so remat costs only edge-MLP recompute)
+                    remat=False,  # shifted-grid path: no [E,·] edge
+                    # tensors; no-remat fits batch 8 and is fastest
+                    # (44.4 vs 35.9 rematted; batch 16 no-remat OOMs,
+                    # batch 16 rematted 29.4/s is per-sample slower)
                     dec_delta_mode="per_step")
     raise ValueError(name)
 
