@@ -250,6 +250,11 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         criterion = self.criterion
         spatial_cells = math.prod(self.config.base_resolution[1:])
         steps_list = list(range(tw, t_res - tw + 1, tw))
+        if not steps_list:
+            raise ValueError(
+                f"evaluation needs at least one (input, label) window pair: "
+                f"t_res={t_res} < 2*time_window={2 * tw}. Use a dataset with "
+                f"nt >= 2*time_window or lower --time_window.")
 
         def fn(params, u_base, u_super, x, cond, t_cond, spatial_cond, mask):
             cond_, t_cond_, sc_ = _opt(cond), _opt(t_cond), _opt(spatial_cond)
@@ -327,6 +332,12 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         criterion = self.criterion
         spatial_cells = math.prod(self.config.base_resolution[1:])
         steps_list = list(range(tw * nr_gt_steps, t_res - tw + 1, tw))
+        if not steps_list:
+            raise ValueError(
+                f"simulate() needs at least one rollout window: t_res="
+                f"{t_res} < {nr_gt_steps + 1}*time_window (tw={tw}, "
+                f"nr_gt_steps={nr_gt_steps}). Use a longer trajectory or "
+                f"lower --time_window.")
         n_t = tw * len(steps_list)
         if u_bc is None:
             u_bc = u

@@ -277,3 +277,12 @@ def test_trainer_device_cache_flag(dataset):
     assert len(train_losses) == 1 and np.isfinite(train_losses[0])
     for v in jax.tree_util.tree_leaves(val_losses):
         assert np.isfinite(float(v))
+
+
+def test_eval_rejects_too_short_trajectory(trainer):
+    # nt < 2*time_window leaves zero (input, label) eval windows; the
+    # trainer must say so instead of dying inside jnp.stack([]) (regression:
+    # a synthetic dataset with nt=21 under time_window=25)
+    with pytest.raises(ValueError, match="2\\*time_window"):
+        trainer._make_test_step(batch_size=4, t_res=2 * TW - 1,
+                                has_base=False)

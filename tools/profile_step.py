@@ -53,7 +53,15 @@ def main():
 
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nps_profile"
     depth = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    trainer, device_batch = bench.build_trainer()
+    family = sys.argv[3] if len(sys.argv) > 3 else "ufno"
+    if family == "ufno":
+        trainer, device_batch = bench.build_trainer()
+    else:  # any tools/bench_all.py family name, same shapes it benches
+        import bench_all
+        trainer, device_batch = bench.build_trainer(
+            batch=8 if family == "gnn" else bench.BATCH,
+            model_kwargs=bench_all.family_kwargs(family),
+            trainer_kwargs=dict(neighbors=2) if family == "gnn" else None)
     u_traj, pos, cond, t_cond, sc = device_batch
     step = trainer._make_train_step(depth, u_traj.shape[0], u_traj.shape[2])
     params, opt_state = trainer.params, trainer.opt_state
