@@ -9,6 +9,10 @@ base_args, parser = make_base()
 
 model = dict(
     make_wrapper(base_args, Tanh()),
+    # exact-erf GELU mirrors the reference config values (torch default).
+    # For TPU production, --model.activation=gelu_tanh is +25% step
+    # throughput at rounding-level (~2 bf16 ulp) numeric difference —
+    # BASELINE.md "Activation probe".
     activation=GELU(),
     processor="UFNO",
     fno_modes=10,

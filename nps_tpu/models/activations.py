@@ -36,8 +36,33 @@ class _Activation:
 
 
 class GELU(_Activation):
+    """Exact-erf GELU — bit-matches torch's default (``torch.nn.GELU()``).
+
+    On TPU the exact erf is VPU-transcendental-bound: in the headline U-FNO
+    depth-1 train step it costs ~22% of the wall-clock (27.5 -> 35.2
+    samples/s when swapped for ReLU, BASELINE.md "Activation probe").
+    Prefer :class:`GELUTanh` for TPU production runs; keep this class where
+    bit-parity with torch transplants matters (the parity suite does).
+    """
+
     def __call__(self, x):
         return jax.nn.gelu(x, approximate=False)
+
+
+class GELUTanh(_Activation):
+    """Tanh-approximate GELU — JAX's own default (``jax.nn.gelu``).
+
+    Within ~2 bf16 ulps of exact GELU over the active range (max abs diff
+    0.0156 at |x|~2, exactly the bf16 quantum there; identical on 68% of a
+    dense bf16 grid), i.e. at bf16 compute precision the approximation
+    error is rounding-level. Measured on the shipped U-FNO depth-1 train
+    step: 35.0 samples/s vs 27.5 exact (+27%) — the erf transcendental is
+    VPU-bound on TPU while tanh has a fast hardware path. Select from
+    configs as ``activation="gelu_tanh"``.
+    """
+
+    def __call__(self, x):
+        return jax.nn.gelu(x, approximate=True)
 
 
 class Tanh(_Activation):
@@ -72,6 +97,8 @@ class Swish(_Activation):
 
 _BY_NAME = {
     "gelu": GELU(),
+    "gelu_tanh": GELUTanh(),
+    "gelu_approx": GELUTanh(),
     "tanh": Tanh(),
     "relu": ReLU(),
     "silu": SiLU(),
@@ -98,8 +125,7 @@ def resolve_activation(act):
     if mod.startswith("torch"):
         if tname in ("GELU",):
             approx = getattr(act, "approximate", "none")
-            return _BY_NAME["gelu"] if approx == "none" else (
-                lambda x: jax.nn.gelu(x, approximate=True))
+            return _BY_NAME["gelu"] if approx == "none" else _BY_NAME["gelu_tanh"]
         if tname in _BY_NAME_TORCH:
             return _BY_NAME[_BY_NAME_TORCH[tname]]
         raise ValueError(f"Unsupported torch activation {tname}")

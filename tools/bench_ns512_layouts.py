@@ -144,18 +144,27 @@ def main():
         print(f"{name:14s}: {out}", flush=True)
         return out
 
-    results = {}
-    results["dp8"] = layout("dp8", 8, ("data",), (8,))
-    results["dp8_b16"] = layout("dp8_b16", 16, ("data",), (8,))
-    results["dp8_b24"] = layout("dp8_b24", 24, ("data",), (8,))
-    results["dp4_sp2"] = layout("dp4_sp2", 8, ("data", "x"), (4, 2),
-                                x_axis="x")
-    results["dp2_sp4"] = layout("dp2_sp4", 8, ("data", "x"), (2, 4),
-                                x_axis="x")
-    results["dp2_sp4_b16"] = layout("dp2_sp4_b16", 16, ("data", "x"), (2, 4),
-                                    x_axis="x")
-    results["dp4_tp2"] = layout("dp4_tp2", 8, ("data", "model"), (4, 2),
-                                tp=True)
+    # each 512^2 AOT compile takes tens of minutes on this 1-vCPU host, so
+    # layouts are selectable by argv (default: the three decision-relevant
+    # batch-16 layouts — same global batch, different slicing — plus the
+    # known single-chip measurement as the cross-check)
+    catalog = {
+        "dp8": lambda: layout("dp8", 8, ("data",), (8,)),
+        "dp8_b16": lambda: layout("dp8_b16", 16, ("data",), (8,)),
+        "dp8_b24": lambda: layout("dp8_b24", 24, ("data",), (8,)),
+        "dp4_sp2": lambda: layout("dp4_sp2", 8, ("data", "x"), (4, 2),
+                                  x_axis="x"),
+        "dp2_sp4": lambda: layout("dp2_sp4", 8, ("data", "x"), (2, 4),
+                                  x_axis="x"),
+        "dp2_sp4_b16": lambda: layout("dp2_sp4_b16", 16, ("data", "x"),
+                                      (2, 4), x_axis="x"),
+        "dp4_tp2": lambda: layout("dp4_tp2", 8, ("data", "model"), (4, 2),
+                                  tp=True),
+        "dp4_tp2_b16": lambda: layout("dp4_tp2_b16", 16, ("data", "model"),
+                                      (4, 2), tp=True),
+    }
+    names = sys.argv[1:] or ["dp8_b16", "dp2_sp4_b16", "dp4_tp2_b16"]
+    results = {n: catalog[n]() for n in names}
     print(json.dumps(results))
 
 

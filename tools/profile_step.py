@@ -30,20 +30,38 @@ def summarize(trace_dir, n_steps):
            and "dur" in e]
 
     cat = collections.Counter()
+    cat_bytes = collections.Counter()
     src = collections.Counter()
+    top = collections.Counter()
+    top_bytes = collections.Counter()
     for e in ops:
-        cat[re.sub(r"\.\d+$", "", e["name"])] += e["dur"]
+        name = re.sub(r"\.\d+$", "", e["name"])
         a = e.get("args", {})
+        b = int(a.get("bytes_accessed", 0) or 0)
+        cat[name] += e["dur"]
+        cat_bytes[name] += b
         s = a.get("tf_op") or ""
-        src[str(s)[:70] or re.sub(r"\.\d+$", "", e["name"])] += e["dur"]
+        src[str(s)[:70] or name] += e["dur"]
+        top[e["name"]] += e["dur"]
+        top_bytes[e["name"]] += b
     total = sum(cat.values())
-    print(f"TPU busy: {total / n_steps / 1e3:.0f} ms/step")
-    print("\nby op category:")
+    total_bytes = sum(cat_bytes.values())
+    print(f"TPU busy: {total / n_steps / 1e3:.0f} ms/step;"
+          f" bytes accessed: {total_bytes / n_steps / 2**30:.1f} GiB/step"
+          f" -> {total_bytes / (total * 1e-6) / 1e9:.0f} GB/s achieved")
+    print("\nby op category (ms | % | GiB | achieved GB/s):")
     for k, d in cat.most_common(12):
-        print(f"  {d / n_steps / 1e3:8.2f} ms {d / total * 100:5.1f}%  {k}")
+        b = cat_bytes[k]
+        print(f"  {d / n_steps / 1e3:8.2f} ms {d / total * 100:5.1f}% "
+              f"{b / n_steps / 2**30:7.2f} GiB {b / (d * 1e-6) / 1e9:6.0f} GB/s  {k}")
     print("\nby source:")
     for k, d in src.most_common(12):
         print(f"  {d / n_steps / 1e3:8.2f} ms {d / total * 100:5.1f}%  {k}")
+    print("\ntop individual ops (ms | GiB | GB/s):")
+    for k, d in top.most_common(15):
+        b = top_bytes[k]
+        print(f"  {d / n_steps / 1e3:8.2f} ms {b / n_steps / 2**30:7.2f} GiB "
+              f"{b / (d * 1e-6) / 1e9:6.0f} GB/s  {k[:60]}")
 
 
 def main():
