@@ -56,7 +56,7 @@ def build_trainer(compute_dtype="bfloat16", nx=NX, tw=TW, batch=BATCH,
         model, pde = _build_model(nx, nx, tw)
     else:
         import nps_tpu.models as models
-        from nps_tpu.models.activations import GELU, Tanh
+        from nps_tpu.models.activations import GELUTanh, Tanh
         from nps_tpu.pde import PDE2D
 
         pde = PDE2D(tmin=0.0, tmax=10.0, nt=501, L1=1.0, L2=0.66, nx1=nx,
@@ -76,7 +76,9 @@ def build_trainer(compute_dtype="bfloat16", nx=NX, tw=TW, batch=BATCH,
                 approx_volume_preserve_mode="individual_static",
                 max_pct_dif=1 / tw, num_c=1, num_spatial_dims=2,
                 time_window=tw, encoder="enc_grid.ElementWise",
-                activation=GELU(), decoder="dec_grid.TimeConvDense",
+                # tanh-approx GELU, the TPU ship configuration (see
+                # BASELINE.md "Roofline + activation probe")
+                activation=GELUTanh(), decoder="dec_grid.TimeConvDense",
                 dec_delta_mode="per_step", pde=pde, **model_kwargs)
 
     class _BenchData:  # minimal DatasetInterface stand-in

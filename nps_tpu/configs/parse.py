@@ -147,6 +147,13 @@ def parse_arg_default(default_type):
             return str(arg)
         if default_type is bool:
             return parse_boolean(arg)
+        # Rich config values (e.g. activation objects) opt into string
+        # overrides via a `_parse_override` classmethod — the reference
+        # parser cannot override such values at all (`default_type(arg)`
+        # on a torch activation class raises), so this is an extension,
+        # not a divergence: `--model.activation=gelu_tanh`.
+        if hasattr(default_type, "_parse_override"):
+            return default_type._parse_override(arg)
         return default_type(arg)
 
     return parse_arg

@@ -20,7 +20,7 @@ from nps_tpu.configs.parse_component import load_config_modules, compose_config
 from nps_tpu.configs.parse import parse_arg_default  # noqa: F401 (flag types)
 from nps_tpu.configs.train.defaults import base
 from nps_tpu.configs.parse_component import parse_base
-from nps_tpu.models.activations import GELU, Tanh
+from nps_tpu.models.activations import GELUTanh, Tanh
 
 base_args_dict = {**base.default, **dict(
     base_resolution=(101, 512, 512),
@@ -64,6 +64,12 @@ trainer = dict(
     max_test_batches=float("inf"),
     print_setting=dict(print_per_step=False),
     process_settings={},
+    # Pure DP at batch 2/chip is the measured-best 8-chip layout at 512^2
+    # (AOT memory fits, tools/bench_ns512_layouts.py): dp8 batch16 fits at
+    # 11.0 GiB temps/chip; dp2xsp4 also fits (12.6 GiB) but adds halo
+    # traffic with no memory need at this grid — reserve spatial_parallel
+    # for grids where per-chip batch 1 no longer fits; dp4xtp2 and dp8
+    # batch24 (3/chip) both OOM by ~210 MB. See BASELINE.md "ns512 layouts".
     data_parallel=True,
     spatial_parallel=0,  # set K>1 for the ("data", "x") grid mesh
     matmul_precision=None,
@@ -86,7 +92,10 @@ model = dict(
     data_structure="grid",
     processor_residual=False,
     encoder="enc_grid.ElementWise",
-    activation=GELU(),
+    # TPU-only stretch config (no reference mirror): tanh-approx
+    # GELU, +25% step throughput at ~2 bf16 ulp numeric cost
+    # (BASELINE.md "Roofline + activation probe")
+    activation=GELUTanh(),
     processor="UFNO",
     fno_modes=20,
     hidden_blocks=3,

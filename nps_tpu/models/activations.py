@@ -34,6 +34,12 @@ class _Activation:
     def __deepcopy__(self, memo):
         return self
 
+    @classmethod
+    def _parse_override(cls, spec):
+        """CLI-override hook for the config parser: resolve a string spec
+        (e.g. ``--model.activation=gelu_tanh``) to an activation object."""
+        return resolve_activation(spec)
+
 
 class GELU(_Activation):
     """Exact-erf GELU — bit-matches torch's default (``torch.nn.GELU()``).

@@ -103,3 +103,17 @@ def test_ns512_stretch_config():
     assert args["trainer"]["compute_dtype"] == "bfloat16"
     assert args["model"]["fno_modes"] == 20
     assert args["model"]["remat"] is True
+
+
+def test_activation_object_string_override():
+    # rich config values opt into CLI string overrides via _parse_override
+    # (the reference parser cannot override activation objects at all);
+    # --model.activation=gelu_tanh is the documented TPU-production switch
+    from nps_tpu.models.activations import GELU, GELUTanh
+
+    args = run_parser([])
+    assert isinstance(args["model"]["activation"], GELU)
+    args = run_parser(["--model.activation=gelu_tanh"])
+    assert isinstance(args["model"]["activation"], GELUTanh)
+    with pytest.raises(SystemExit):  # unknown name -> argparse type error
+        run_parser(["--model.activation=gelu_typo"])

@@ -32,7 +32,7 @@ def build(batch):
     import nps_tpu.models as models
     from __graft_entry__ import _example_batch
     from nps_tpu.common.interfaces import D
-    from nps_tpu.models.activations import GELU, Tanh
+    from nps_tpu.models.activations import GELUTanh, Tanh
     from nps_tpu.models.config import set_compute_dtype
     from nps_tpu.pde import PDE2D
     from nps_tpu.train.losses import build_criterion
@@ -49,7 +49,8 @@ def build(batch):
         approx_volume_preserve_mode="individual_static", max_pct_dif=1 / TW,
         num_c=1, num_spatial_dims=2, time_window=TW, data_structure="grid",
         processor_residual=False, encoder="enc_grid.ElementWise",
-        activation=GELU(), processor="UFNO", fno_modes=20, hidden_blocks=3,
+        activation=GELUTanh(),  # ships in cfg_ns512_ufno
+        processor="UFNO", fno_modes=20, hidden_blocks=3,
         hidden_features=128, fno_kernel_size=1, fno_conv_mode="single",
         padding_mode="circular", ch_mults=[1, 1, 1],
         is_attn=[False, False, False], mid_attn=False, norm=True,
