@@ -82,9 +82,29 @@ class GroupNormFast(nn.Module):
                 parts, axis=-1)
             xg = x.reshape(x.shape[:-1] + (g, c // g))
             red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-            xf = xg.astype(jnp.float32)  # fuses into the reductions below
-            mean = jnp.mean(xf, axis=red_axes, keepdims=True)
-            mean2 = jnp.mean(jnp.square(xf), axis=red_axes, keepdims=True)
+            if model_config.gn_stats_impl() == "mxu":
+                # same f32-accumulated statistics as MXU contractions
+                # (dot_general accumulates bf16 inputs in f32 natively);
+                # see tools/bench_gn_stats.py for the A/B behind the knob
+                b, cg = xg.shape[0], c // g
+                s = int(np.prod(xg.shape[1:-2]))  # spatial extent
+                x4 = xg.reshape(b, s, g, cg)
+                n_el = s * cg
+                ones = jnp.ones((s, cg), xg.dtype)
+                s1 = jax.lax.dot_general(
+                    x4, ones, (((1, 3), (0, 1)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [b, g]
+                s2 = jax.lax.dot_general(
+                    x4, x4, (((1, 3), (1, 3)), ((0, 2), (0, 2))),
+                    preferred_element_type=jnp.float32)      # [b, g]
+                stat_shape = (b,) + (1,) * (xg.ndim - 3) + (g, 1)
+                mean = (s1 / n_el).reshape(stat_shape)
+                mean2 = (s2 / n_el).reshape(stat_shape)
+            else:
+                xf = xg.astype(jnp.float32)  # fuses into the reductions
+                mean = jnp.mean(xf, axis=red_axes, keepdims=True)
+                mean2 = jnp.mean(jnp.square(xf), axis=red_axes,
+                                 keepdims=True)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             inv = jax.lax.rsqrt(var + self.epsilon)
             dt = x.dtype

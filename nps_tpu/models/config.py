@@ -35,6 +35,29 @@ def compute_dtype():
     return _COMPUTE_DTYPE
 
 
+# GroupNorm statistics implementation: "reduce" (convert-to-f32 + fused
+# multi-output VPU reduce — the default) or "mxu" (the same f32-accumulated
+# statistics as dot_general contractions, which the MXU pipelines at HBM
+# rate; candidate for the 156-217 GB/s stat-reduce term in BASELINE.md's
+# post-tanh decomposition). Same semantics up to reduction order; A/B via
+# tools/bench_gn_stats.py (micro) and NPS_GN_STATS=mxu python bench.py
+# (full step). Read at trace time, like compute_dtype.
+import os as _os
+
+_GN_STATS_IMPL = _os.environ.get("NPS_GN_STATS", "reduce")
+
+
+def set_gn_stats_impl(impl):
+    global _GN_STATS_IMPL
+    if impl not in ("reduce", "mxu"):
+        raise ValueError(f"Unsupported GN stats impl {impl!r}")
+    _GN_STATS_IMPL = impl
+
+
+def gn_stats_impl():
+    return _GN_STATS_IMPL
+
+
 def cast_compute(x):
     """Cast an activation tensor to the configured compute dtype."""
     dt = _COMPUTE_DTYPE

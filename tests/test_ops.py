@@ -378,6 +378,35 @@ def test_group_norm_fast_matches_flax(rng, groups, dtype):
                                np.asarray(ref), rtol=tol, atol=tol)
 
 
+@pytest.mark.parametrize("groups,dtype", [(1, "float32"), (4, "float32"),
+                                          (1, "bfloat16")])
+def test_group_norm_mxu_stats_match_reduce(rng, groups, dtype):
+    """The MXU dot_general stats formulation (NPS_GN_STATS=mxu /
+    set_gn_stats_impl) must match the default reduce formulation — both
+    accumulate in f32, so they differ only by reduction order."""
+    from nps_tpu.models import config as model_config
+    from nps_tpu.models.common import GroupNormFast
+
+    x = rng.standard_normal((2, 6, 5, 16), dtype=np.float32) * 3 + 1
+    scale = rng.standard_normal(16).astype(np.float32)
+    bias = rng.standard_normal(16).astype(np.float32)
+    params = {"params": {"scale": jnp.array(scale), "bias": jnp.array(bias)}}
+    xj = jnp.array(x, dtype=dtype)
+
+    assert model_config.gn_stats_impl() == "reduce"
+    ref = GroupNormFast(num_groups=groups).apply(params, xj)
+    model_config.set_gn_stats_impl("mxu")
+    try:
+        out = GroupNormFast(num_groups=groups).apply(params, xj)
+    finally:
+        model_config.set_gn_stats_impl("reduce")
+    assert out.dtype == xj.dtype
+    tol = 1e-5 if dtype == "float32" else 3e-2
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=tol, atol=tol)
+
+
 def test_conv_and_groupnorm_parts_equal_concat(rng):
     """The parts-aware forms (kernel slices / joint stats) must equal the
     concatenated form exactly (kept for layout experiments; see BASELINE.md)."""
