@@ -1,0 +1,36 @@
+#!/bin/bash
+# Serialized chip job queue for the round-3 close-out. Chip jobs MUST run
+# one at a time (concurrent axon clients conflict on libtpu_lockfile), and
+# fresh full-step compiles take ~20-25 min through the remote compiler.
+#
+# Queue:
+#   1. gn_micro      — tools/bench_gn_stats.py (MXU vs reduce GN stats)
+#   2. ns512_b2      — tools/bench_ns512.py --batches=2 (GELUTanh re-rate,
+#                      the number BASELINE.md's ns512 section points at)
+#   3. depth1_mxu    — headline step with NPS_GN_STATS=mxu (full-step A/B
+#                      against the cached 34.72 samples/s reduce baseline)
+#   4. bench_all     — all five families with the shipped GELUTanh
+#
+# Logs land in /tmp/chip_queue/<name>.log; a PASS/FAIL summary is appended
+# to /tmp/chip_queue/summary.txt after each job.
+
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/chip_queue
+mkdir -p "$LOG"
+: > "$LOG/summary.txt"
+
+run() {
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name start $(date +%H:%M:%S)" | tee -a "$LOG/summary.txt"
+  timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name rc=$rc end $(date +%H:%M:%S)" | tee -a "$LOG/summary.txt"
+  tail -3 "$LOG/$name.log" | sed 's/^/    /' >> "$LOG/summary.txt"
+}
+
+run gn_micro   2400 python tools/bench_gn_stats.py
+run ns512_b2   3600 python tools/bench_ns512.py --batches=2
+run depth1_mxu 3600 env NPS_GN_STATS=mxu python tools/bench_depth1.py
+run bench_all  9000 python tools/bench_all.py
+echo "QUEUE DONE $(date +%H:%M:%S)" | tee -a "$LOG/summary.txt"
