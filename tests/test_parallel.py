@@ -205,7 +205,8 @@ def test_trainer_device_cache_with_dp(mesh, tmp_path):
     assert np.isfinite(loss) and n == 16
 
 
-def _resume_trainer(dataset, tmp_path, tag, num_epochs, resume=False):
+def _resume_trainer(dataset, tmp_path, tag, num_epochs, resume=False,
+                    parallel=None):
     import nps_tpu.models as models
     from nps_tpu.models.activations import GELU
     from nps_tpu.train import AutoregressivePushforwardTrainer, build_criterion
@@ -227,7 +228,7 @@ def _resume_trainer(dataset, tmp_path, tag, num_epochs, resume=False):
         device="cpu", batch_size=8, nr_gt_steps=1, nw=0,
         num_epochs=num_epochs, lr_step_interval=1, unrolling=1,
         print_interval=1, test_interval=2, process_settings={},
-        data_parallel=True, resume=resume)
+        resume=resume, **(parallel or dict(data_parallel=True)))
 
 
 @pytest.fixture(scope="module")
@@ -276,6 +277,38 @@ def test_resume_continues_training_under_dp(mesh, tmp_path, resume_dataset):
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(trA.params)),
                     jax.tree_util.tree_leaves(jax.device_get(trB2.params))):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("parallel", [dict(spatial_parallel=2),
+                                      dict(tensor_parallel=2)],
+                         ids=["sp2", "tp2"])
+def test_resume_continues_training_under_sp_tp(mesh, tmp_path,
+                                               resume_dataset, parallel):
+    """Kill-and-resume must also hold under spatial and tensor parallelism:
+    _place_state re-places restored params per the trainer's mode
+    (replication on the grid mesh; model-axis weight sharding under tp)."""
+    from nps_tpu.utils.seed import set_seed
+
+    tag = "sp" if "spatial_parallel" in parallel else "tp"
+    set_seed(13)
+    trA = _resume_trainer(resume_dataset, tmp_path, tag + "A", num_epochs=3,
+                          parallel=parallel)
+    lossesA, _, _ = trA.train()
+
+    set_seed(13)
+    trB = _resume_trainer(resume_dataset, tmp_path, tag + "B", num_epochs=2,
+                          parallel=parallel)
+    lossesB, _, _ = trB.train()
+    assert np.allclose(lossesB, lossesA[:2], rtol=1e-6)
+    set_seed(13)
+    trB2 = _resume_trainer(resume_dataset, tmp_path, tag + "B", num_epochs=3,
+                           resume=True, parallel=parallel)
+    lossesB2, _, _ = trB2.train()
+    assert trB2.start_epoch == 2
+    # restored params live on the full mesh, not one device
+    leaf = jax.tree_util.tree_leaves(trB2.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    np.testing.assert_allclose(lossesB2, lossesA[2:], rtol=1e-5)
 
 
 def test_resume_preserves_best_model_tracking(mesh, tmp_path, resume_dataset,

@@ -199,6 +199,54 @@ def test_trainer_simulate_parity():
     assert np.abs(my_pred - ref_pred).max() / denom < 1e-4
 
 
+class _ListLoader:
+    """Iterable loader shim with the ``batch_size`` attr the reference
+    trainer's test() inspects (``trainers/base.py:392-396``)."""
+
+    def __init__(self, batches, batch_size):
+        self.batches = batches
+        self.batch_size = batch_size
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def test_trainer_test_weighted_aggregation_parity():
+    """The full test() loop — batch-size-weighted metric aggregation over a
+    loader with a RAGGED final batch (sizes 2,2,1) — must match the
+    reference ``trainers/base.py:378-470``: loss and every metric weighted
+    by batch size and divided by n_total, not averaged per batch."""
+    ref_tr, my_tr, pde = _build_pair(seed=4)
+
+    sizes = (2, 2, 1)
+    batches_np = []
+    for i, s in enumerate(sizes):
+        u_base, u_super, cond, sc = _batch(seed=10 + i)
+        pos = np.broadcast_to(np.asarray(pde.x, np.float32)[None],
+                              (B, NX1, NX2, 2)).copy()
+        batches_np.append(tuple(a[:s] for a in
+                                (u_base, u_super, pos, cond,
+                                 np.zeros((B, 0), np.float32), sc)))
+
+    ref_loader = _ListLoader(
+        [tuple(torch.tensor(a) for a in b) for b in batches_np], B)
+    with torch.no_grad():
+        ref_loss, ref_metrics = ref_tr.test(ref_loader)
+
+    my_loader = _ListLoader(
+        [tuple(jnp.asarray(a) for a in b) for b in batches_np], B)
+    with jax.default_matmul_precision("highest"):
+        my_loss, my_metrics = my_tr.test(my_loader)
+
+    assert set(ref_metrics) == set(my_metrics)
+    rv, mv = float(ref_loss), float(my_loss)
+    assert abs(rv - mv) <= 1e-4 * max(abs(rv), 1.0)
+    for k in ref_metrics:
+        rv, mv = float(ref_metrics[k]), float(my_metrics[k])
+        assert abs(rv - mv) <= 1e-4 * max(abs(rv), 1.0), \
+            f"{k}: ref {rv} vs nps_tpu {mv}"
+
+
 def test_film_processor_parity():
     """FNO processor with cond_mode='film' (transform mode 0, the mode the
     reference FNO wires; proc_fno.py:45-47,209-218), driven the only way
