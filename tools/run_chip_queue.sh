@@ -33,4 +33,5 @@ run gn_micro   2400 python tools/bench_gn_stats.py
 run ns512_b2   3600 python tools/bench_ns512.py --batches=2
 run depth1_mxu 3600 env NPS_GN_STATS=mxu python tools/bench_depth1.py
 run bench_all  9000 python tools/bench_all.py
+run profile1   3600 python tools/profile_step.py /tmp/profile_tanh 1
 echo "QUEUE DONE $(date +%H:%M:%S)" | tee -a "$LOG/summary.txt"
