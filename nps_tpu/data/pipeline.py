@@ -29,24 +29,57 @@ def collate(elements):
 
 
 class HostDataLoader:
-    """Shuffled epoch iterator over an index-able dataset of 6-tuples."""
+    """Shuffled epoch iterator over an index-able dataset of 6-tuples.
+
+    Multi-host: when ``process_count > 1`` (defaults read from
+    ``jax.process_index()/process_count()``), every process derives the
+    identical global epoch order from the shared ``seed`` and collates
+    only its contiguous slice of each global batch; ragged trailing
+    batches are trimmed to ``global_multiple`` (default: the process
+    count; pass the mesh's 'data' extent so every batch stays shardable).
+    ``__len__`` and the yielded order are identical across the fleet —
+    see ``nps_tpu.parallel.multihost``.
+    """
 
     def __init__(self, dataset, batch_size, shuffle=True, seed=0,
-                 drop_last=False):
+                 drop_last=False, process_index=None, process_count=None,
+                 global_multiple=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
+        self.process_index = (jax.process_index() if process_index is None
+                              else process_index)
+        self.process_count = (jax.process_count() if process_count is None
+                              else process_count)
+        self.global_multiple = (self.process_count if global_multiple is None
+                                else global_multiple)
+        assert self.global_multiple % self.process_count == 0, \
+            "global_multiple must be a multiple of the process count"
+
+    def _global_batch_sizes(self):
+        """Per-batch GLOBAL element counts for one epoch (same fleet-wide)."""
+        n = len(self.dataset)
+        sizes = []
+        for start in range(0, n, self.batch_size):
+            size = min(self.batch_size, n - start)
+            if self.drop_last and size < self.batch_size:
+                break
+            if self.process_count > 1:
+                size -= size % self.global_multiple
+                if size == 0:
+                    continue
+            sizes.append(size)
+        return sizes
 
     def __len__(self):
-        n = len(self.dataset)
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        return len(self._global_batch_sizes())
 
     def __iter__(self):
+        from nps_tpu.parallel.multihost import shard_indices_for_process
+
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -56,6 +89,12 @@ class HostDataLoader:
             idx = order[start:start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
+            if self.process_count > 1:
+                idx = idx[:len(idx) - len(idx) % self.global_multiple]
+                if len(idx) == 0:
+                    continue
+                idx = shard_indices_for_process(
+                    idx, self.process_index, self.process_count)
             yield collate([self.dataset[int(i)] for i in idx])
 
 
@@ -73,6 +112,12 @@ def device_put_batch(batch, sharding=None):
                      for a in batch)
     if hasattr(sharding, "shard_batch"):  # GridBatchSharding (data x spatial)
         return sharding.shard_batch(batch)
+    if jax.process_count() > 1:
+        # multi-host: each process holds only its slice of the global
+        # batch; lift to global jax.Arrays (parallel.multihost)
+        from nps_tpu.parallel.multihost import assemble_global_batch
+
+        return assemble_global_batch(batch, sharding)
     # divisibility only matters along the batch-sharded axis (a dp x tp
     # mesh shards batches over "data" alone, not over all devices)
     n_shards = dict(sharding.mesh.shape).get(

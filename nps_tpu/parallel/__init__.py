@@ -3,3 +3,5 @@ from nps_tpu.parallel.mesh import (  # noqa: F401
     init_distributed, make_grid_mesh, GridBatchSharding)
 from nps_tpu.parallel.tensor import (  # noqa: F401
     make_dp_tp_mesh, param_partition_specs, shard_params, param_shardings)
+from nps_tpu.parallel.multihost import (  # noqa: F401
+    process_slice, shard_indices_for_process, assemble_global_batch)

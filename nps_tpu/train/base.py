@@ -39,6 +39,8 @@ except ModuleNotFoundError:
     WANDB_AVAILABLE = False
 
 
+
+
 class TrainInterface(metaclass=ABCMeta):
     def __init__(self, model, data, criterion, optimizer=None,
                  lr_scheduler=None, config=None, save_path="models/model",
@@ -86,6 +88,11 @@ class TrainInterface(metaclass=ABCMeta):
             jax.config.update("jax_debug_nans", True)
         if getattr(self.config, "enable_checks", False):
             jax.config.update("jax_enable_checks", True)
+
+        # ---- preemption-safe shutdown (SURVEY.md §5 failure recovery) ----
+        self.preempted = False
+        self._preempt_requested = False
+        self._last_epoch_partial = False
 
         # ---- functional training state ----
         self.params = None
@@ -283,6 +290,19 @@ class TrainInterface(metaclass=ABCMeta):
 
         kw = dict(batch_size=self.config.batch_size, shuffle=True,
                   seed=get_seed())
+        if jax.process_count() > 1:
+            # multi-host: per-process input shards assembled into global
+            # arrays (parallel.multihost); batches must stay divisible by
+            # the mesh's 'data' extent so every batch is shardable
+            if getattr(self.config, "device_cache", False):
+                warnings.warn("device_cache is single-process only; "
+                              "falling back to HostDataLoader shards")
+            n_data = (dict(self.mesh.shape).get("data", 1)
+                      if self.mesh is not None else jax.process_count())
+            kw["global_multiple"] = n_data
+            return (HostDataLoader(self.data.train, **kw),
+                    HostDataLoader(self.data.valid, **kw),
+                    HostDataLoader(self.data.test, **kw))
         if getattr(self.config, "device_cache", False):
             # stage all three splits into HBM once; per-batch loading
             # becomes an on-device gather (see pipeline.DeviceCacheLoader).
@@ -341,6 +361,8 @@ class TrainInterface(metaclass=ABCMeta):
         if maybe_resumed:
             print(f"Resumed from checkpoint at epoch {self.start_epoch}")
 
+        self._install_preempt_handlers()
+
         if self.use_wandb:
             wandb.init(config=self.wandb_config_dict, **(self.wandb_kwargs or {}))
 
@@ -364,6 +386,20 @@ class TrainInterface(metaclass=ABCMeta):
             if profile_dir and epoch == self.start_epoch + 1:
                 jax.profiler.start_trace(profile_dir)
             train_loss, n_samples = self.train_one_epoch(train_loader, epoch)
+            if self._preempt_requested:
+                # a partial epoch's loss is discarded and the checkpoint
+                # points at `epoch` so the resumed run re-trains it in
+                # full; a signal caught in the end-of-epoch callback keeps
+                # the completed epoch and resumes at epoch + 1
+                partial = self._last_epoch_partial
+                if not partial:
+                    train_losses.append(train_loss)
+                if profile_dir and epoch == self.start_epoch + 1:
+                    jax.profiler.stop_trace()
+                return self._preempt_exit(epoch + (0 if partial else 1),
+                                          min_val_loss, train_loader,
+                                          train_losses, val_losses,
+                                          val_stats_list)
             samples_seen += n_samples
             train_losses.append(train_loss)
             if profile_dir and epoch == self.start_epoch + 1:
@@ -445,7 +481,14 @@ class TrainInterface(metaclass=ABCMeta):
 
             if self.use_wandb:
                 wandb.log(epoch_log)
+            if self._preempt_requested:
+                # signal arrived during validation/checkpointing: epoch is
+                # complete, so the resumed run continues at epoch + 1
+                return self._preempt_exit(epoch + 1, min_val_loss,
+                                          train_loader, train_losses,
+                                          val_losses, val_stats_list)
 
+        self._restore_preempt_handlers()
         self.save_model(self.config.save_path + "_final")
         if self.use_wandb:
             wandb.finish()
@@ -459,7 +502,12 @@ class TrainInterface(metaclass=ABCMeta):
         it = (iter(loader)
               if getattr(loader, "device_resident", False)
               else prefetch_to_device(iter(loader), self.sharding))
+        self._last_epoch_partial = False
         for batch_idx, batch in enumerate(it):
+            if self._preempt_requested:
+                # stop at the batch boundary; train() checkpoints + exits
+                self._last_epoch_partial = True
+                return float(total_loss), n_samples
             loss, _ = self.train_step(batch, epoch, batch_idx, loader=loader)
             bs = util.get_batch_size(batch)
             total_loss = total_loss + loss / bs
@@ -525,6 +573,56 @@ class TrainInterface(metaclass=ABCMeta):
             return loss, other_metrics, (np.stack([data_gt, data_pred]),
                                          data_other)
         return loss, other_metrics
+
+    # ------------------------------------------------------------------
+    # preemption-safe shutdown (SIGTERM/SIGINT -> checkpoint -> exit)
+    # ------------------------------------------------------------------
+    def _install_preempt_handlers(self):
+        """SIGTERM/SIGINT (cloud preemption notice / operator Ctrl-C) sets
+        a flag; the epoch loop stops at the next batch boundary, saves a
+        full checkpoint, and returns with ``self.preempted = True``. A
+        second signal restores default semantics (KeyboardInterrupt).
+        Opt-out: ``trainer.preempt_checkpoint=False``. No-op off the main
+        thread (signal.signal raises there)."""
+        import signal
+
+        self._orig_handlers = {}
+        if not getattr(self.config, "preempt_checkpoint", True):
+            return
+
+        def handler(signum, frame):
+            if self._preempt_requested:
+                self._restore_preempt_handlers()
+                raise KeyboardInterrupt
+            print(f"[nps_tpu] caught signal {signum}: checkpointing at the "
+                  f"next batch boundary, then exiting (signal again to "
+                  f"abort immediately)")
+            self._preempt_requested = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._orig_handlers[sig] = signal.signal(sig, handler)
+            except ValueError:  # not the main thread
+                self._orig_handlers = {}
+                return
+
+    def _restore_preempt_handlers(self):
+        import signal
+
+        for sig, h in getattr(self, "_orig_handlers", {}).items():
+            signal.signal(sig, h)
+        self._orig_handlers = {}
+
+    def _preempt_exit(self, epoch, min_val_loss, train_loader,
+                      train_losses, val_losses, val_stats_list):
+        self.save_checkpoint(epoch, min_val_loss, train_loader=train_loader)
+        self.preempted = True
+        self._restore_preempt_handlers()
+        print(f"Preempted at epoch {epoch}: checkpoint saved — rerun with "
+              f"trainer.resume=True to continue")
+        if self.use_wandb:
+            wandb.finish()
+        return train_losses, val_losses, val_stats_list
 
     # ------------------------------------------------------------------
     # model export + full checkpoint/resume

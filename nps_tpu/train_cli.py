@@ -123,6 +123,12 @@ def main(args):
     print("Number of parameters:", count_parameters(trainer.params))
 
     train_losses, val_losses, val_stats = trainer.train()
+    if getattr(trainer, "preempted", False):
+        # SIGTERM/SIGINT arrived: a full checkpoint was saved; exit with
+        # the conventional 128+SIGTERM code so orchestrators reschedule
+        # the job (which resumes via --trainer.resume=true)
+        print("Run preempted — resume with --trainer.resume=true")
+        sys.exit(143)
     print("Train losses:", util.to_floatlist(train_losses))
     first = list(val_losses.keys())[0]
     print("Validation losses:", util.to_floatlist(val_losses[first]))
