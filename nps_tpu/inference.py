@@ -29,6 +29,9 @@ from nps_tpu.pde import PDE2D
 
 class SurrogateEngine:
     def __init__(self, model, params, pde, time_window, neighbors=3):
+        from nps_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()  # serving restarts skip rollout recompiles
         self.model = model
         self.params = params
         self.pde = pde

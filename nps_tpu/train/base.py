@@ -82,6 +82,12 @@ class TrainInterface(metaclass=ABCMeta):
 
             set_compute_dtype(cd)
 
+        # persistent XLA compilation cache: restarted/resumed jobs skip
+        # identical full-step compiles (utils/compile_cache.py)
+        from nps_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache(getattr(self.config, "compile_cache_dir", None))
+
         # debug-mode knobs (SURVEY.md §5 "race detection/sanitizers" slot):
         # structural determinism is native to JAX; NaN tracing is opt-in
         if getattr(self.config, "debug_nans", False):
@@ -263,6 +269,11 @@ class TrainInterface(metaclass=ABCMeta):
         from nps_tpu.utils.seed import get_seed
 
         if self.config.variable_time:
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "variable-time loaders are single-process (ragged "
+                    "batches cannot form global arrays); run multi-host "
+                    "training on fixed-shape datasets")
             # parity: trainers/base.py:180-216 — batch sampler + min-crop
             # collate for training, max-pad for evaluation
             from nps_tpu.data.pipeline import VariableTimeLoader
@@ -479,6 +490,7 @@ class TrainInterface(metaclass=ABCMeta):
                     self.save_checkpoint(epoch + 1, min_val_loss,
                                          train_loader=train_loader)
 
+            self._log_metrics_jsonl(epoch, epoch_log)
             if self.use_wandb:
                 wandb.log(epoch_log)
             if self._preempt_requested:
@@ -574,6 +586,22 @@ class TrainInterface(metaclass=ABCMeta):
                                          data_other)
         return loss, other_metrics
 
+    def _log_metrics_jsonl(self, epoch, epoch_log):
+        """Append one JSON line per epoch to ``<save_path>_metrics.jsonl``
+        — a crash-resilient training-curve record (the end-of-run summary
+        pickle and wandb both lose the curve on a hard kill). On resume the
+        file keeps appending. Opt-out: ``trainer.metrics_jsonl=False``."""
+        if not getattr(self.config, "metrics_jsonl", True) \
+                or not self._is_writer_process():
+            return
+        import json
+
+        path = self.config.save_path + "_metrics.jsonl"
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "a") as f:
+            f.write(json.dumps({"epoch": epoch, **epoch_log}, default=float)
+                    + "\n")
+
     # ------------------------------------------------------------------
     # preemption-safe shutdown (SIGTERM/SIGINT -> checkpoint -> exit)
     # ------------------------------------------------------------------
@@ -627,7 +655,16 @@ class TrainInterface(metaclass=ABCMeta):
     # ------------------------------------------------------------------
     # model export + full checkpoint/resume
     # ------------------------------------------------------------------
+    @staticmethod
+    def _is_writer_process():
+        """Multi-host: only process 0 writes checkpoints/exports/metrics
+        (all processes hold replicated state; concurrent writes to a
+        shared filesystem would race)."""
+        return jax.process_index() == 0
+
     def save_model(self, save_name):
+        if not self._is_writer_process():
+            return
         root, ext = os.path.splitext(save_name)
         save_name = root + (ext or ".msgpack")
         os.makedirs(os.path.dirname(save_name) or ".", exist_ok=True)
@@ -645,6 +682,9 @@ class TrainInterface(metaclass=ABCMeta):
     def save_checkpoint(self, epoch, min_val_loss=None, train_loader=None):
         """Full training state for preemption recovery (absent upstream)."""
         import random as py_random
+
+        if not self._is_writer_process():
+            return
 
         state = dict(
             epoch=epoch,

@@ -66,6 +66,19 @@ def test_training_decreases_loss(trainer):
     assert np.isfinite(stats["Unrolled forward losses"])
 
 
+def test_metrics_jsonl_written(trainer):
+    """train() (run by the fixture's first test) appends one JSON line per
+    epoch to <save_path>_metrics.jsonl."""
+    import json
+
+    path = trainer.config.save_path + "_metrics.jsonl"
+    with open(path) as f:
+        rows = [json.loads(l) for l in f if l.strip()]
+    assert [r["epoch"] for r in rows[-2:]] == [0, 1]
+    assert all(np.isfinite(r["train_loss"]) for r in rows)
+    assert "default - val loss" in rows[-1]
+
+
 def test_lr_schedule_applied(trainer):
     # after 2 epochs with lr_step_interval=1 and milestones [1, 5] gamma .4:
     # scheduler stepped twice -> counter 2 -> one milestone crossed

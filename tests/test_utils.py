@@ -1,5 +1,7 @@
 """Utility-layer tests: collate/masks, slicing, stats, process_output."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -105,3 +107,22 @@ def test_process_step_other_pde_noop(rng):
     out, bc = process_step(pde, M.AR_TB, sim, None, None)
     assert bc is None
     np.testing.assert_array_equal(np.asarray(out), np.asarray(sim))
+
+
+def test_compile_cache_setup(tmp_path, monkeypatch):
+    from nps_tpu.utils.compile_cache import enable_compile_cache
+    import jax as _jax
+
+    prev = _jax.config.jax_compilation_cache_dir
+    try:
+        d = enable_compile_cache(str(tmp_path / "xla"))
+        assert d == str(tmp_path / "xla")
+        assert _jax.config.jax_compilation_cache_dir == d
+        assert os.path.isdir(d)
+        # empty string and env kill-switch both disable
+        assert enable_compile_cache("") is None
+        monkeypatch.setenv("NPS_COMPILE_CACHE", "0")
+        assert enable_compile_cache(str(tmp_path / "other")) is None
+        assert not (tmp_path / "other").exists()
+    finally:
+        _jax.config.update("jax_compilation_cache_dir", prev)
