@@ -58,6 +58,12 @@ class HostDataLoader:
                                 else global_multiple)
         assert self.global_multiple % self.process_count == 0, \
             "global_multiple must be a multiple of the process count"
+        if self.process_count > 1 and batch_size < self.global_multiple:
+            raise ValueError(
+                f"batch_size={batch_size} < global_multiple="
+                f"{self.global_multiple}: every batch would trim to zero; "
+                f"use a global batch size of at least the mesh's 'data' "
+                f"extent")
 
     def _global_batch_sizes(self):
         """Per-batch GLOBAL element counts for one epoch (same fleet-wide)."""

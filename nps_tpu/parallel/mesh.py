@@ -106,6 +106,10 @@ class GridBatchSharding:
         return P(*spec)
 
     def shard_batch(self, batch):
+        assert jax.process_count() == 1, \
+            "GridBatchSharding is single-process: device_put of a " \
+            "per-process slice onto a multi-host mesh would treat it as " \
+            "the full global batch (see parallel.multihost)"
         n_data = self.mesh.shape["data"]
         n_x = self.mesh.shape["x"]
         out = []

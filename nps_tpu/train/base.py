@@ -305,12 +305,22 @@ class TrainInterface(metaclass=ABCMeta):
             # multi-host: per-process input shards assembled into global
             # arrays (parallel.multihost); batches must stay divisible by
             # the mesh's 'data' extent so every batch is shardable
+            if self.mesh is None:
+                raise ValueError(
+                    "multi-host training requires a device mesh: set "
+                    "trainer.data_parallel=true (or tensor_parallel=K) — "
+                    "without one each process would silently train its "
+                    "own divergent model on a disjoint data shard")
+            if hasattr(self.sharding, "shard_batch"):
+                raise NotImplementedError(
+                    "spatial_parallel is single-process for now: "
+                    "GridBatchSharding places per-role global arrays via "
+                    "device_put, which cannot assemble per-process input "
+                    "slices; use data_parallel/tensor_parallel multi-host")
             if getattr(self.config, "device_cache", False):
                 warnings.warn("device_cache is single-process only; "
                               "falling back to HostDataLoader shards")
-            n_data = (dict(self.mesh.shape).get("data", 1)
-                      if self.mesh is not None else jax.process_count())
-            kw["global_multiple"] = n_data
+            kw["global_multiple"] = dict(self.mesh.shape).get("data", 1)
             return (HostDataLoader(self.data.train, **kw),
                     HostDataLoader(self.data.valid, **kw),
                     HostDataLoader(self.data.test, **kw))
@@ -397,11 +407,13 @@ class TrainInterface(metaclass=ABCMeta):
             if profile_dir and epoch == self.start_epoch + 1:
                 jax.profiler.start_trace(profile_dir)
             train_loss, n_samples = self.train_one_epoch(train_loader, epoch)
-            if self._preempt_requested:
+            if self._last_epoch_partial or self._preempt_fleet_agreed():
                 # a partial epoch's loss is discarded and the checkpoint
-                # points at `epoch` so the resumed run re-trains it in
-                # full; a signal caught in the end-of-epoch callback keeps
-                # the completed epoch and resumes at epoch + 1
+                # points at `epoch`, so the resumed run re-runs that epoch
+                # (the optimizer steps already applied are kept — recovery
+                # is epoch-granular, so those batches may be seen twice);
+                # a signal caught in the end-of-epoch callback keeps the
+                # completed epoch and resumes at epoch + 1
                 partial = self._last_epoch_partial
                 if not partial:
                     train_losses.append(train_loss)
@@ -493,7 +505,7 @@ class TrainInterface(metaclass=ABCMeta):
             self._log_metrics_jsonl(epoch, epoch_log)
             if self.use_wandb:
                 wandb.log(epoch_log)
-            if self._preempt_requested:
+            if self._preempt_fleet_agreed():
                 # signal arrived during validation/checkpointing: epoch is
                 # complete, so the resumed run continues at epoch + 1
                 return self._preempt_exit(epoch + 1, min_val_loss,
@@ -516,7 +528,7 @@ class TrainInterface(metaclass=ABCMeta):
               else prefetch_to_device(iter(loader), self.sharding))
         self._last_epoch_partial = False
         for batch_idx, batch in enumerate(it):
-            if self._preempt_requested:
+            if self._preempt_fleet_agreed():
                 # stop at the batch boundary; train() checkpoints + exits
                 self._last_epoch_partial = True
                 return float(total_loss), n_samples
@@ -618,6 +630,12 @@ class TrainInterface(metaclass=ABCMeta):
         if not getattr(self.config, "preempt_checkpoint", True):
             return
 
+        # a fresh train() starts un-preempted (a prior preempted run on the
+        # same instance must not trip the first batch-boundary check)
+        self.preempted = False
+        self._preempt_requested = False
+        self._last_epoch_partial = False
+
         def handler(signum, frame):
             if self._preempt_requested:
                 self._restore_preempt_handlers()
@@ -641,6 +659,23 @@ class TrainInterface(metaclass=ABCMeta):
             signal.signal(sig, h)
         self._orig_handlers = {}
 
+    def _preempt_fleet_agreed(self):
+        """Multi-host: the stop decision must be fleet-wide — staggered
+        signal delivery would otherwise leave the un-signalled processes
+        blocked inside the next step's collectives forever. Every process
+        calls this at every batch boundary (the allgather doubles as the
+        sync point); single-process reduces to the local flag."""
+        if jax.process_count() == 1:
+            return self._preempt_requested
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(self._preempt_requested))
+        agreed = bool(np.any(flags))
+        if agreed:
+            self._preempt_requested = True
+        return agreed
+
     def _preempt_exit(self, epoch, min_val_loss, train_loader,
                       train_losses, val_losses, val_stats_list):
         self.save_checkpoint(epoch, min_val_loss, train_loader=train_loader)
@@ -658,18 +693,36 @@ class TrainInterface(metaclass=ABCMeta):
     @staticmethod
     def _is_writer_process():
         """Multi-host: only process 0 writes checkpoints/exports/metrics
-        (all processes hold replicated state; concurrent writes to a
-        shared filesystem would race)."""
+        (concurrent writes to a shared filesystem would race)."""
         return jax.process_index() == 0
 
+    def _host_fetch(self, tree):
+        """Fetch a state pytree to host numpy. Multi-host: arrays sharded
+        over remote devices (tensor parallelism) are not addressable by
+        ``device_get``; gather them fleet-wide first — EVERY process must
+        call this (collective), even though only process 0 writes."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            def fetch(x):
+                # only remote-sharded jax.Arrays need the collective;
+                # replicated arrays / python leaves device_get locally
+                if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                    return multihost_utils.process_allgather(x, tiled=True)
+                return jax.device_get(x)
+
+            return jax.tree_util.tree_map(fetch, tree)
+        return jax.device_get(tree)
+
     def save_model(self, save_name):
+        params = self._host_fetch(self.params)
         if not self._is_writer_process():
             return
         root, ext = os.path.splitext(save_name)
         save_name = root + (ext or ".msgpack")
         os.makedirs(os.path.dirname(save_name) or ".", exist_ok=True)
         with open(save_name, "wb") as f:
-            f.write(flax.serialization.to_bytes(self.params))
+            f.write(flax.serialization.to_bytes(params))
         print(f"Saved model at {save_name}")
 
     def load_model(self, save_name):
@@ -683,13 +736,15 @@ class TrainInterface(metaclass=ABCMeta):
         """Full training state for preemption recovery (absent upstream)."""
         import random as py_random
 
+        params = self._host_fetch(self.params)
+        opt_state = self._host_fetch(self.opt_state)
         if not self._is_writer_process():
             return
 
         state = dict(
             epoch=epoch,
-            params=jax.device_get(self.params),
-            opt_state=jax.device_get(self.opt_state),
+            params=params,
+            opt_state=opt_state,
             lr_epoch=self.lr_scheduler.epoch if hasattr(
                 self.lr_scheduler, "epoch") else 0,
             min_val_loss=min_val_loss or {},

@@ -19,16 +19,15 @@ import os
 import jax
 
 DEFAULT_DIR = "~/.cache/nps_tpu/xla"
-_enabled = False
 
 
 def enable_compile_cache(cache_dir=None):
     """Point JAX's persistent compilation cache at ``cache_dir``.
 
     ``cache_dir=None`` uses ``DEFAULT_DIR``; empty string / "0" disables.
-    Idempotent; returns the directory in use (or None if disabled).
+    Safe to call repeatedly; returns the directory in use (or None if
+    disabled).
     """
-    global _enabled
     if os.environ.get("NPS_COMPILE_CACHE", "1") in ("0", "false", ""):
         return None
     if cache_dir is None:
@@ -42,7 +41,6 @@ def enable_compile_cache(cache_dir=None):
         # default threshold (1 s) skips the tiny jits; keep fast compiles
         # out of the cache but catch every real model-step compile
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        _enabled = True
     except Exception as e:  # never let cache setup kill a run
         print(f"[nps_tpu] compile cache disabled ({e!r})")
         return None

@@ -79,8 +79,8 @@ def test_loader_shards_partition_global_stream(n, bs, p):
 
 def test_loader_len_matches_iteration():
     ds = _FakeDataset(13)
-    for p, gm in ((1, None), (2, 2), (4, 8)):
-        l = HostDataLoader(ds, 4, shuffle=False, process_index=0,
+    for bs, p, gm in ((4, 1, None), (4, 2, 2), (8, 4, 8)):
+        l = HostDataLoader(ds, bs, shuffle=False, process_index=0,
                            process_count=p, global_multiple=gm)
         assert len(list(l)) == len(l)
 
@@ -107,6 +107,21 @@ def test_assemble_global_batch_rejects_indivisible():
     bad = np.zeros((6, 2), np.float32)  # 6 does not divide 8 devices
     with pytest.raises(ValueError, match="does not divide"):
         assemble_global_batch((bad,), sharding)
+
+
+def test_loader_rejects_batch_below_multiple():
+    with pytest.raises(ValueError, match="trim to zero"):
+        HostDataLoader(_FakeDataset(16), 2, process_index=0,
+                       process_count=4, global_multiple=4)
+
+
+def test_multiprocess_without_mesh_rejected(dataset, tmp_path, monkeypatch):
+    """Simulated 2-process run without a mesh must fail loudly instead of
+    silently training divergent models."""
+    tr = _make_trainer(dataset, str(tmp_path / "m3"), num_epochs=1)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="requires a device mesh"):
+        tr.get_dataloaders()
 
 
 # ---------------------------------------------------------------------------

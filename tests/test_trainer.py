@@ -51,6 +51,13 @@ def trainer(dataset):
         nr_gt_steps=1, nw=0, num_epochs=2, lr_step_interval=1, unrolling=1,
         print_interval=1, test_interval=2, process_settings={},
         print_setting=dict(print_per_step=True))
+    # the metrics sink appends across pytest invocations at this fixed
+    # save_path; start this module's run from a clean file
+    import os
+
+    metrics = tr.config.save_path + "_metrics.jsonl"
+    if os.path.exists(metrics):
+        os.remove(metrics)
     return tr
 
 
