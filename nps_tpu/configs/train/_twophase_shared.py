@@ -61,6 +61,8 @@ def make_trainer(base_args):
         matmul_precision=None,
         compute_dtype=None,
         resume=False,
+        eval_only=False,
+        load_model=None,
     )
 
 

@@ -75,6 +75,8 @@ trainer = dict(
     matmul_precision=None,
     compute_dtype="bfloat16",
     resume=True,
+    eval_only=False,
+    load_model=None,
 )
 
 model = dict(

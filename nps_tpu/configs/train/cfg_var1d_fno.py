@@ -59,6 +59,8 @@ trainer = dict(
     matmul_precision=None,
     compute_dtype=None,
     resume=False,
+    eval_only=False,
+    load_model=None,
 )
 
 model = dict(

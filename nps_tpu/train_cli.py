@@ -110,6 +110,34 @@ def main(args):
     print("Pre-train valid summary:")
     print(util.dict_str(util.to_floatdict(valid_summary), prefix=" • "))
 
+    if getattr(trainer.config, "eval_only", False):
+        # evaluate a trained model without training:
+        #   --trainer.eval_only=true --trainer.load_model=path/to.msgpack
+        # (no load_model -> evaluates the freshly initialized model)
+        load = getattr(trainer.config, "load_model", None)
+        if load:
+            trainer.load_model(load)
+            print(f"Loaded model from {load}")
+        summary = {}
+        for name, tk in trainer.test_kwargs_list:
+            for split, loader in (("valid", valid_loader),
+                                  ("test", test_loader)):
+                if callable(tk):
+                    loss, stats = tk(loader, trainer)
+                else:
+                    loss, stats = trainer.test(loader, test_kwargs=tk)
+                loss = util.to_float(loss)
+                stats = util.to_floatdict(stats)
+                print(f"[{name}/{split}] loss: {loss}")
+                print(util.dict_str(stats, prefix=" • "))
+                summary[f"{name}/{split}"] = dict(loss=loss, **stats)
+        with open(os.path.join(args["experiment_path"],
+                               args["experiment_name"]
+                               + "_eval_summary.pickle"), "wb") as f:
+            pickle.dump(summary, f)
+        print("Eval Completed!")
+        return
+
     # optimizer / lr_scheduler after the first forward pass (lazy init)
     trainer.set_optimizer(dict(args["optimizer"]))
     trainer.set_lr_scheduler(dict(args["lr_scheduler"]))
