@@ -210,3 +210,42 @@ def test_preempt_flag_stops_epoch_without_steps(dataset, tmp_path):
     tr._preempt_requested = True
     loss, n_samples = tr.train_one_epoch(loaders[0], 0)
     assert n_samples == 0
+
+
+def test_eval_only_cli(dataset, tmp_path):
+    """--trainer.eval_only evaluates without training and writes the eval
+    summary pickle (in-process CLI, mirrors test_gnn_cli_end_to_end)."""
+    import pickle
+    import sys
+
+    from nps_tpu.configs.parse import parse_args
+    from nps_tpu.data.synthetic import generate
+    from nps_tpu.train_cli import main
+
+    d = tmp_path / "twophase"
+    generate(str(d), n_sims=6, n_channels=7, nt=21, nx1=8, nx2=6, seed=3)
+    old = sys.argv
+    try:
+        sys.argv = [
+            "prog", "-C", "nps_tpu/configs/train/cfg_twophase_drn.py",
+            "--base_resolution=[21,8,6]", "--super_resolution=[21,8,6]",
+            "--time_window=5", "--batch_size=2",
+            f"--dataset.base_path={tmp_path}",
+            "--model.hidden_features=8", "--model.hidden_blocks=1",
+            "--trainer.device=cpu", "--trainer.eval_only=true",
+            f"--experiment_path={tmp_path / 'out'}",
+            "--experiment_name=evalonly",
+        ]
+        args = parse_args()
+    finally:
+        sys.argv = old
+    main(args)
+    p = tmp_path / "out" / "evalonly_eval_summary.pickle"
+    assert p.exists()
+    with open(p, "rb") as f:
+        summary = pickle.load(f)
+    assert set(summary) == {"default/valid", "default/test"}
+    for v in summary.values():
+        assert np.isfinite(v["loss"])
+    # no training artifacts were produced
+    assert not (tmp_path / "out" / "evalonly_final.msgpack").exists()
