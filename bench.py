@@ -171,7 +171,39 @@ def bench_rollout(trainer, device_batch, reps=3):
     return n_steps / dt
 
 
+def _device_watchdog(timeout_s=480):
+    """Fail fast instead of hanging forever when the TPU tunnel is dead:
+    ``jax.devices()`` on the axon platform blocks in C if the remote chip
+    is unreachable, which would wedge an unattended bench run. A daemon
+    thread arms a deadline; once devices resolve the main thread disarms
+    it. On expiry: one JSON error line, exit 2."""
+    import os
+    import threading
+
+    armed = threading.Event()
+    armed.set()
+
+    def watch():
+        time.sleep(timeout_s)
+        if armed.is_set():
+            print(json.dumps({
+                "metric": "ufno_train_samples_per_sec_per_chip_128x128",
+                "value": None, "unit": "samples/s", "vs_baseline": None,
+                "error": f"no TPU device within {timeout_s}s "
+                         f"(tunnel down?)"}), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return armed
+
+
 def main():
+    watchdog = _device_watchdog()
+    import jax
+
+    jax.devices()  # blocks here if the tunnel is dead
+    watchdog.clear()
+
     trainer, device_batch = build_trainer()
 
     extra = {}
