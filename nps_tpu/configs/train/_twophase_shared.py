@@ -61,6 +61,7 @@ def make_trainer(base_args):
         matmul_precision=None,
         compute_dtype=None,
         resume=False,
+        checkpoint_interval=None,  # None -> test_interval
         eval_only=False,
         load_model=None,
     )

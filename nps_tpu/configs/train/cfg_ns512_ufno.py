@@ -75,6 +75,7 @@ trainer = dict(
     matmul_precision=None,
     compute_dtype="bfloat16",
     resume=True,
+    checkpoint_interval=None,  # None -> test_interval
     eval_only=False,
     load_model=None,
 )

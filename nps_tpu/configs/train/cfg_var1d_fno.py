@@ -59,6 +59,7 @@ trainer = dict(
     matmul_precision=None,
     compute_dtype=None,
     resume=False,
+    checkpoint_interval=None,  # None -> test_interval
     eval_only=False,
     load_model=None,
 )

@@ -141,7 +141,12 @@ class MemMapDataset:
                 self, _delete_files, dict(self.preprocess_output))
 
         if load_all:
-            self.data = {k: np.asarray(v[:]) for k, v in self.data.items()}
+            # ragged stores are per-element (offsets-indexed): materialise
+            # element lists; fixed-shape memmaps load as one dense array
+            self.data = {
+                k: ([v[i] for i in range(len(v))]
+                    if not hasattr(v, "shape") else np.asarray(v[:]))
+                for k, v in self.data.items()}
 
     def cleanup(self):
         if hasattr(self, "_finalizer"):

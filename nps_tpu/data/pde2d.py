@@ -42,6 +42,13 @@ def _split_indices(data_path, split_file, n_elements, split_val, split_test):
 
     n_val = int(split_val * n_elements)
     n_test = int(split_test * n_elements)
+    if n_val == 0 or n_test == 0:
+        # the reference's negative-slice arithmetic (src/data/PDE2D.py:60-62)
+        # degenerates at zero (every[:-0] is empty) — fail loudly instead
+        raise ValueError(
+            f"fractional split of {n_elements} elements gives val={n_val}, "
+            f"test={n_test}; provide a split.yaml or a dataset large "
+            f"enough that each split gets >= 1 element")
     every = np.arange(n_elements)
     pct_train = (1 - split_val - split_test) * 100
     print(f"Warning: No data split provided. Using {pct_train:.1f}%:"
@@ -58,7 +65,10 @@ def _derive_pde(dataset, name, has_cond, has_t_cond, has_spatial_cond):
     ``tmax/dt``, and the conditioning channel counts from a probe of
     element 0 (``src/data/PDE2D.py:70-89``).
     """
-    n_frames = int(dataset.tmax / dataset.dt) + 1
+    # reference formula is int(tmax/dt) + 1 (src/data/PDE2D.py:73); round
+    # instead of truncating so float dust (10.0/0.1 -> 99.999...) cannot
+    # drop a frame — identical on every exactly-divisible grid
+    n_frames = int(round(dataset.tmax / dataset.dt)) + 1
     tmin, tmax = transforms.get_t_downsample(dataset.tmin, dataset.tmax,
                                              n_frames, ratio_nt=1)
     grid = dataset.x  # [nx1, nx2, 2]

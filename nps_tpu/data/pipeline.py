@@ -144,29 +144,56 @@ def device_put_batch(batch, sharding=None):
 
 def prefetch_to_device(iterator, sharding=None, size=2):
     """Background-thread prefetch: overlaps host batch assembly + H2D copies
-    with device compute. Yields device-resident batches."""
+    with device compute. Yields device-resident batches.
+
+    The consumer may stop early (``max_train_batches``, an exception in the
+    step) — the generator's ``finally`` sets a stop event and drains the
+    queue so the worker exits instead of blocking forever on a full queue
+    (which would leak one thread + prefetched HBM buffers per epoch)."""
     q = queue.Queue(maxsize=size)
     _END = object()
     err = []
+    stop = threading.Event()
 
     def worker():
         try:
             for batch in iterator:
-                q.put(device_put_batch(batch, sharding))
+                item = device_put_batch(batch, sharding)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # surface worker errors to the consumer
             err.append(e)
         finally:
-            q.put(_END)
+            while not stop.is_set():  # consumer gone -> stop covers shutdown
+                try:
+                    q.put(_END, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        while True:  # release a worker blocked on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 class DeviceCacheLoader:

@@ -41,6 +41,22 @@ except ModuleNotFoundError:
 
 
 
+def _weighted_add(acc, v, bs):
+    """Accumulate a batch metric weighted by batch size; recurses into
+    nested dicts (test_step implementations may return per-step dicts)."""
+    if isinstance(v, dict):
+        acc = acc or {}
+        return {k: _weighted_add(acc.get(k), vv, bs) for k, vv in v.items()}
+    v = util.to_float(v) * bs
+    return v if acc is None else acc + v
+
+
+def _weighted_div(v, n):
+    if isinstance(v, dict):
+        return {k: _weighted_div(vv, n) for k, vv in v.items()}
+    return v / n
+
+
 class TrainInterface(metaclass=ABCMeta):
     def __init__(self, model, data, criterion, optimizer=None,
                  lr_scheduler=None, config=None, save_path="models/model",
@@ -496,11 +512,16 @@ class TrainInterface(metaclass=ABCMeta):
                                             prefix="-"))
                         print()
 
-                ckpt_every = getattr(self.config, "checkpoint_interval",
-                                     self.config.test_interval)
-                if ckpt_every and (epoch + 1) % ckpt_every == 0:
-                    self.save_checkpoint(epoch + 1, min_val_loss,
-                                         train_loader=train_loader)
+            # NOT nested in the test_interval block: checkpoint_interval <
+            # test_interval must still checkpoint on its own schedule
+            # None/absent -> test_interval; 0 disables; int() because a
+            # None-default config key reaches the CLI parser untyped
+            ckpt_every = getattr(self.config, "checkpoint_interval", None)
+            ckpt_every = (self.config.test_interval if ckpt_every is None
+                          else int(ckpt_every))
+            if ckpt_every and (epoch + 1) % ckpt_every == 0:
+                self.save_checkpoint(epoch + 1, min_val_loss,
+                                     train_loader=train_loader)
 
             self._log_metrics_jsonl(epoch, epoch_log)
             if self.use_wandb:
@@ -521,7 +542,6 @@ class TrainInterface(metaclass=ABCMeta):
     def train_one_epoch(self, loader, epoch):
         """Parity: ``trainers/base.py:472-507`` (+ device prefetch)."""
         total_loss = jnp.zeros(())
-        n_batches = 0
         n_samples = 0
         it = (iter(loader)
               if getattr(loader, "device_resident", False)
@@ -535,10 +555,13 @@ class TrainInterface(metaclass=ABCMeta):
             loss, _ = self.train_step(batch, epoch, batch_idx, loader=loader)
             bs = util.get_batch_size(batch)
             total_loss = total_loss + loss / bs
-            n_batches += 1
             n_samples += bs
             if batch_idx >= self.max_train_batches:
                 break
+        # verbatim reference semantics (trainers/base.py:496-500): the break
+        # is inclusive of batch_idx == max_train_batches and the denominator
+        # stays len(loader) even when truncated — max_train_batches is a
+        # smoke-test knob, not a production sampler
         total_loss = total_loss / len(loader)
 
         if self.epoch_callback is not None:
@@ -578,11 +601,7 @@ class TrainInterface(metaclass=ABCMeta):
             loss = loss + util.to_float(batch_loss) * bs
             n_total += bs
             for k, v in batch_metrics.items():
-                v = util.to_float(v) if not isinstance(v, dict) else v
-                if k in other_metrics:
-                    other_metrics[k] += v * bs
-                else:
-                    other_metrics[k] = v * bs
+                other_metrics[k] = _weighted_add(other_metrics.get(k), v, bs)
             if include_data:
                 data_gt.append(np.asarray(batch_data[0]))
                 data_pred.append(np.asarray(batch_data[1]))
@@ -590,7 +609,8 @@ class TrainInterface(metaclass=ABCMeta):
             if batch_idx >= self.max_test_batches - 1:
                 break
         loss = loss / n_total
-        other_metrics = {k: v / n_total for k, v in other_metrics.items()}
+        other_metrics = {k: _weighted_div(v, n_total)
+                         for k, v in other_metrics.items()}
         if include_data:
             data_gt = np.concatenate(data_gt, axis=0)
             data_pred = np.concatenate(data_pred, axis=0)

@@ -127,6 +127,11 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         chash = hash(x0.astype(np.float64).tobytes())
         if self._graph_hash.get(key) == chash:
             return
+        if key in self._graph_cache:
+            # grid content changed under the same (shape, batch) key: the
+            # compiled steps closed over the OLD edges/positions as
+            # constants — drop them or they keep predicting on stale graphs
+            self._jit_cache.clear()
         self._graph_cache[key] = G.build_static_structure(
             self.data.pde, x0, self.data_creator.n, int(batch_size))
         self._graph_hash[key] = chash
@@ -180,6 +185,15 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         criterion = self.criterion
         tx = self.tx
         precision = self._precision()
+
+        if t_res - tw - tw * unrolled + 1 <= tw:
+            # jax.random.randint does not validate an empty range; it would
+            # silently produce clamped/garbage windows (cf. the analogous
+            # eval guard in _make_test_step)
+            raise ValueError(
+                f"trajectory too short to train at unroll depth {unrolled}: "
+                f"t_res={t_res} needs at least tw*(unrolled+2)="
+                f"{tw * (unrolled + 2)} (tw={tw})")
 
         def step_fn(params, opt_state, u_super, x, cond, t_cond,
                     spatial_cond, key):
@@ -530,6 +544,12 @@ class AutoregressivePushforwardTrainer(TrainInterface):
             raise ValueError("The data is shorter than nr_gt_steps*tw")
         if u_mask is not None and not compute_loss:
             raise ValueError("Mask supplied but compute_loss=False!")
+        if not compute_loss and not include_data:
+            # the reference returns ([], ([], [])) here after running the
+            # whole rollout for nothing (:435-440); fail loudly instead
+            raise ValueError(
+                "simulate() with compute_loss=False and include_data=False "
+                "returns nothing; request at least one output")
 
         cond_ = _opt(jnp.asarray(conditioning)
                      if conditioning is not None else None)

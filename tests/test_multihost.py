@@ -249,3 +249,16 @@ def test_eval_only_cli(dataset, tmp_path):
         assert np.isfinite(v["loss"])
     # no training artifacts were produced
     assert not (tmp_path / "out" / "evalonly_final.msgpack").exists()
+
+
+def test_checkpoint_interval_independent_of_test_interval(dataset, tmp_path):
+    """checkpoint_interval < test_interval checkpoints on its own schedule
+    (regression: the check used to be nested in the test_interval block)."""
+    tr = _make_trainer(dataset, str(tmp_path / "ck"), num_epochs=3)
+    tr.config.checkpoint_interval = 1
+    tr.config.test_interval = 100  # no validation inside this run
+    tr.train()
+    import pickle
+
+    with open(str(tmp_path / "ck") + "_checkpoint.pkl", "rb") as f:
+        assert pickle.load(f)["epoch"] == 3
