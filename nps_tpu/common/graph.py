@@ -67,9 +67,12 @@ def _pairwise_edges(pos, mask_fn, loop=False, chunk=2048):
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
         d2 = _d2_rows(pos, lo, hi)
-        adj = mask_fn(d2)
         if not loop:
-            adj[np.arange(hi - lo), np.arange(lo, hi)] = False
+            # exclude self BEFORE masking: a capped mask (radius_graph's
+            # max_num_neighbors cumsum) must not spend a slot on the
+            # zero-distance self column
+            d2[np.arange(hi - lo), np.arange(lo, hi)] = np.inf
+        adj = mask_fn(d2)
         recv, send = np.nonzero(adj)  # row i receives from column j
         sends.append(send)
         recvs.append(recv + lo)

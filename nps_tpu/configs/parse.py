@@ -20,6 +20,7 @@ SURVEY.md §5):
 import argparse
 import ast
 import importlib
+import importlib.util
 import sys
 import types
 from argparse import Namespace
@@ -263,8 +264,16 @@ def parse_args(config_file=None):
     if config_file is None:
         config_file = get_config_from_sys_argv()
     try:
-        parser = copy(importlib.import_module(
-            config_file_to_module(config_file)).parser)
+        # execute the config module FRESH each parse: its parser defaults
+        # are derived from sys.argv at execution time (stage-1 base parse),
+        # so a cached import would bake a previous call's overrides into
+        # this one (bites notebooks/tests that parse repeatedly in-process;
+        # the one-shot CLI never notices)
+        mod_name = config_file_to_module(config_file)
+        spec = importlib.util.find_spec(mod_name)
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        parser = copy(module.parser)
     except (ModuleNotFoundError, AttributeError):
         raise Exception(f"Cannot access 'parser' attribute of {config_file}")
     args = parser.parse_args()

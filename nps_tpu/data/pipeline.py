@@ -294,11 +294,20 @@ class VariableTimeLoader:
             sc = [e[5] for e in els]
 
             lengths = np.array([el.shape[1] for el in u], np.int32)
-            u = self._collate_u(u).astype(np.float32)
-            u_base = (self._collate_u(u_base).astype(np.float32)
+            # one start per element, shared by every role: the state
+            # window, base solution, and BC drive stay time-aligned
+            # (utils.collate.min_crop_starts)
+            from nps_tpu.utils.collate import min_crop_starts
+
+            starts = (min_crop_starts(lengths, self.tw)
+                      if self.mode == "min" else None)
+            u = self._collate_u(u, starts=starts).astype(np.float32)
+            u_base = (self._collate_u(u_base, starts=starts)
+                      .astype(np.float32)
                       if sum(e.size for e in u_base) else
                       np.zeros((len(els), 0), np.float32))
-            t_cond = (self._collate_u(t_cond).astype(np.float32)
+            t_cond = (self._collate_u(t_cond, starts=starts)
+                      .astype(np.float32)
                       if sum(e.size for e in t_cond) else
                       np.zeros((len(els), 0), np.float32))
             cond = (np.stack(cond).astype(np.float32)

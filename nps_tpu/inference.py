@@ -162,13 +162,18 @@ class SurrogateEngine:
         return self._rollout_cache[key]
 
     def step(self, u, cond=None, spatial_cond=None):
-        """One bundled step: [b, c, tw, *sp] -> next tw frames."""
+        """One bundled step: [b, c, tw, *sp] -> next tw frames.
+
+        Served through the same jit cache as ``rollout`` (an n_steps=1
+        scan) — a frame-by-frame serving loop must not pay per-call
+        tracing/eager-dispatch overhead."""
+        u = jnp.asarray(np.asarray(u, np.float32))
         pos = self._pos(u.shape[0])
         if self._is_gnn():
             self._ensure_graph(u.shape[0])
-        return np.asarray(self._apply(
-            self.params, jnp.asarray(u), _maybe(cond), pos,
-            _maybe(spatial_cond)))
+        fn = self._get_rollout_fn(1, (u.shape, u.dtype.name))
+        frames = fn(self.params, u, _maybe(cond), pos, _maybe(spatial_cond))
+        return np.asarray(frames[0])
 
     def rollout(self, u0, n_steps, cond=None, spatial_cond=None,
                 include_init=False):

@@ -109,10 +109,19 @@ class ActivationWrapper(nn.Module):
 
     @nn.compact
     def __call__(self, u, cond=None, bc=None, pos=None, t_cond=None,
-                 spatial_cond=None):
+                 spatial_cond=None, **kwargs):
+        # **kwargs: pass-through for inner-model extras (e.g. the graph
+        # path's grid_meta); the wrapper must be call-compatible with the
+        # model it wraps
+        if hasattr(u, "edge_index") and (self.enforce_spatial_cond
+                                         or self.approx_volume_preserve):
+            raise ValueError(
+                "enforce_spatial_cond / approx_volume_preserve are "
+                "grid-space constraints; the graph path produces "
+                "node-space outputs — disable them or wrap a grid model")
         act = resolve_activation(self.activation_final)
         out = act(self.inner(u, cond=cond, bc=bc, pos=pos, t_cond=t_cond,
-                             spatial_cond=spatial_cond))
+                             spatial_cond=spatial_cond, **kwargs))
         if self.enforce_spatial_cond:
             out = _apply_spatial_cond(spatial_cond, out,
                                       self.spatial_cond_channel)
@@ -132,13 +141,11 @@ def activation_wrapper(model_class, activation_final,
                        *args, **kwargs):
     """Factory matching the reference entry point
     (``activation_wrapper(model_class='EncProcDec', ...)``)."""
-    import nps_tpu.models as models
+    from nps_tpu.models.enc_proc_dec import _component_registry
     from nps_tpu.utils.attr import getattr_nested
 
-    modules_to_check = [__import__("nps_tpu.models.enc_proc_dec_components",
-                                   fromlist=["_"]), models, models.common]
     model_init = None
-    for module in modules_to_check:
+    for module in _component_registry():
         found = getattr_nested(module, model_class)
         if found is not False:
             model_init = found

@@ -47,16 +47,19 @@ def _flatten_nodes(u):
 def _shift_slices(sp, off):
     """Slices implementing sender = receiver + off on an sp-shaped grid.
 
-    Returns (src, dst): ``out[dst] = x[src]`` writes each in-bounds
+    Returns (src, dst, pads): ``out[dst] = x[src]`` writes each in-bounds
     sender's value at its receiver's position; ``dst`` also indexes the
-    receivers that have an in-bounds sender for this offset (the mask).
+    receivers that have an in-bounds sender for this offset (the mask);
+    ``pads`` are the per-spatial-dim zero-pad widths such that
+    ``pad(x[src], pads)`` equals the dst-scatter (the slice+pad form).
     """
-    src, dst = [], []
+    src, dst, pads = [], [], []
     for s, d in zip(sp, off):
         lo, hi = max(d, 0), s + min(d, 0)
         src.append(slice(lo, hi))
         dst.append(slice(lo - d, hi - d))
-    return tuple(src), tuple(dst)
+        pads.append((lo - d, s - (hi - d)))
+    return tuple(src), tuple(dst), pads
 
 
 class NodeElementWise(nn.Module):
@@ -152,14 +155,10 @@ class MPGNNLayer(nn.Module):
             pp_delta = pos_proj(jnp.asarray(deltas, jnp.float32))
             agg = jnp.zeros_like(hr_g)
             for kk, off in enumerate(offsets):
-                src, dst = _shift_slices(sp, off)
+                src, dst, pads = _shift_slices(sp, off)
                 # shift = slice + zero-pad (no scatter: friendlier HLO)
-                pads = [(0, 0)]
-                for s, d in zip(sp, off):
-                    lo, hi = max(d, 0), s + min(d, 0)
-                    pads.append((lo - d, s - (hi - d)))
-                pads.append((0, 0))
-                shifted = jnp.pad(hs_g[(slice(None),) + src], pads)
+                shifted = jnp.pad(hs_g[(slice(None),) + src],
+                                  [(0, 0)] + pads + [(0, 0)])
                 m = act(hr_g + shifted + pp_delta[kk])
                 m = act(edge2(m))
                 mask = np.zeros(tuple(sp), np.float32)

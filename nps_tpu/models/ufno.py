@@ -57,6 +57,16 @@ class UFNO(nn.Module):
     def __call__(self, h, variables=None, variables_broadcast=None, pos=None):
         assert self.cond_mode in ("film", "concat", None), \
             "Incorrect conditioning mode supplied"
+        if self.cond_mode == "film":
+            # dead upstream path: the reference forwards cond_mode into its
+            # UNet branch (proc_ufno.py:91), whose constructor asserts
+            # concat/None (proc_unet_modern.py:65) — film-UFNO can never
+            # run there either; reject with a message instead of tracing
+            # into the same assert
+            raise ValueError(
+                "UFNO cond_mode='film' is a dead path upstream (the UNet "
+                "branch only supports concat/None); use cond_mode='concat' "
+                "or a pure FNO processor for FiLM")
         act = resolve_activation(self.activation)
         film = self.cond_mode == "film" and self.n_cond > 0
         hidden_in = (self.hidden_features + self.n_cond

@@ -206,6 +206,19 @@ def spectral_conv_nd(x, weights, modes, film=None, film_mode=1,
     b = x.shape[0]
     co = weights[0].shape[2]
 
+    # validate on EVERY path: the truncated-DFT matmuls would otherwise
+    # return finite wrong values (Hermitian doubling is only defined for
+    # modes within the half spectrum) where the FFT path would assert
+    if modes[-1] > sp[-1] // 2 + 1:
+        raise ValueError(
+            f"modes[-1]={modes[-1]} exceeds the half spectrum "
+            f"{sp[-1] // 2 + 1} of the last spatial dim {sp[-1]}")
+    for d in range(nd - 1):
+        if 2 * modes[d] > sp[d]:
+            raise ValueError(
+                f"2*modes[{d}]={2 * modes[d]} exceeds spatial dim {sp[d]}: "
+                f"the low/high mode blocks overlap the spectrum")
+
     if mix_impl == "pallas":  # retired route (see module docstring)
         mix_impl = "dft"
 

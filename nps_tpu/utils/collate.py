@@ -10,10 +10,28 @@ kept host-side so batches reach the device with static shapes.
 import numpy as np
 
 
-def collate_batch_sim(t_dim=1, mode="min", tw=25):
-    """Returns a collate fn making all elements equal size along t_dim."""
+def min_crop_starts(ts, tw, rng=None):
+    """Per-element random start indices for a mode='min' crop over elements
+    of time lengths ``ts``. Sampled ONCE per batch element and shared by
+    every data role, so the state window, its numerical baseline, and any
+    time-conditioning signal stay temporally ALIGNED — the reference
+    samples independently per role (collate_batch_helpers.py:42 called
+    separately per role), silently pairing windows from different times; a
+    deliberate divergence."""
+    shape_t = min(ts)
+    shape_t -= shape_t % tw
+    rand = (rng or np.random).randint
+    return np.array([rand(0, t - shape_t + 1) for t in ts])
 
-    def collate_fn(batch_list):
+
+def collate_batch_sim(t_dim=1, mode="min", tw=25):
+    """Returns a collate fn making all elements equal size along t_dim.
+
+    mode='min' accepts ``starts`` (from :func:`min_crop_starts`) so every
+    role crops the same window; clamped per element when a role is shorter
+    than the role the starts were drawn for."""
+
+    def collate_fn(batch_list, starts=None):
         shapes = [x.shape for x in batch_list]
         ts = [s[t_dim] for s in shapes]
         if mode == "min":
@@ -35,7 +53,10 @@ def collate_batch_sim(t_dim=1, mode="min", tw=25):
                 idx = (i,) + (slice(None),) * t_dim + (slice(0, t_len),)
                 out[idx] = el
             else:
-                start = np.random.randint(0, t_len - shape_t + 1)
+                if starts is not None:
+                    start = min(int(starts[i]), t_len - shape_t)
+                else:
+                    start = np.random.randint(0, t_len - shape_t + 1)
                 idx = (slice(None),) * t_dim + (slice(start, start + shape_t),)
                 out[i] = el[idx]
         return out
@@ -55,13 +76,15 @@ def collate_data(t_dim=1, mode="min", return_lengths=True, tw=25):
         variables = [x[3] for x in batch]
         conditioning = [x[4] for x in batch]
 
-        u_base = (collate_u(u_base) if sum(x.size for x in u_base) > 0
+        lengths = [x.shape[t_dim] for x in u_super]
+        starts = (min_crop_starts(lengths, tw) if mode == "min" else None)
+        u_base = (collate_u(u_base, starts=starts)
+                  if sum(x.size for x in u_base) > 0
                   else np.stack(u_base))
-        conditioning = (collate_u(conditioning)
+        conditioning = (collate_u(conditioning, starts=starts)
                         if sum(x.size for x in conditioning) > 0
                         else np.stack(conditioning))
-        lengths = [x.shape[t_dim] for x in u_super]
-        u_super = collate_u(u_super)
+        u_super = collate_u(u_super, starts=starts)
         xs = np.stack(xs)
         variables = np.stack(variables)
         if return_lengths:

@@ -429,3 +429,17 @@ def test_grid_offset_structure_rejects_knn_ties():
     ei = G.grid_edges(pde, pde.x, 3)  # k=3: one-sided tie-break somewhere
     meta = G.grid_offset_structure(pde.x, ei)
     assert meta is None
+
+
+def test_radius_graph_neighbor_cap_excludes_self():
+    """max_num_neighbors must not spend a slot on the zero-distance self
+    column (regression: node 0 of a collinear chain got k-1 neighbors)."""
+    from nps_tpu.common.graph import radius_graph
+
+    pos = np.arange(5, dtype=np.float64)[:, None]
+    send, recv = radius_graph(pos, r=10.0, max_num_neighbors=2)
+    deg = np.bincount(recv, minlength=5)
+    assert (deg == 2).all(), deg
+    # the cap keeps the lowest-index senders (torch_cluster order)
+    assert sorted(send[recv == 0].tolist()) == [1, 2]
+    assert sorted(send[recv == 4].tolist()) == [0, 1]

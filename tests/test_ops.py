@@ -430,3 +430,20 @@ def test_conv_and_groupnorm_parts_equal_concat(rng):
     g_parts = np.concatenate([np.asarray(x) for x in g_parts], axis=-1)
     np.testing.assert_allclose(g_parts, np.asarray(g_cat),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_spectral_conv_rejects_overlapping_modes():
+    """Both mix impls must reject mode counts beyond the (half) spectrum —
+    the DFT matmuls would otherwise return finite wrong values."""
+    import pytest
+    from nps_tpu.ops.spectral import spectral_conv_nd
+
+    x = np.zeros((1, 16, 12, 2), np.float32)
+    w = [np.zeros((2, 2, 3, 2, 9), np.float32)] * 2
+    for impl in ("dft", "xla"):
+        with pytest.raises(ValueError, match="half spectrum"):
+            spectral_conv_nd(x, w, (2, 9), mix_impl=impl)
+    w_rows = [np.zeros((2, 2, 3, 9, 2), np.float32)] * 2
+    for impl in ("dft", "xla"):
+        with pytest.raises(ValueError, match="overlap"):
+            spectral_conv_nd(x, w_rows, (9, 2), mix_impl=impl)

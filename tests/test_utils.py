@@ -126,3 +126,28 @@ def test_compile_cache_setup(tmp_path, monkeypatch):
         assert not (tmp_path / "other").exists()
     finally:
         _jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_min_crop_alignment_across_roles():
+    """mode='min' crops every data role with the SAME per-element window
+    (regression: independent np.random draws per role paired the state
+    window with wrong-time base/BC windows — an upstream reference bug,
+    collate_batch_helpers.py:42)."""
+    from nps_tpu.utils.collate import collate_data
+
+    rng = np.random.default_rng(0)
+    batch = []
+    for t_len in (40, 35, 50):
+        t = np.arange(t_len, dtype=np.float32)
+        u_base = np.broadcast_to(t, (2, t_len)).copy()
+        u_super = np.broadcast_to(t, (3, t_len)).copy()
+        t_cond = np.broadcast_to(t, (1, t_len)).copy()
+        batch.append((u_base, u_super, np.zeros(4, np.float32),
+                      np.zeros(2, np.float32), t_cond))
+    u_base, u_super, xs, variables, conditioning, lengths = \
+        collate_data(t_dim=1, mode="min", tw=5)(batch)
+    assert u_super.shape[2] == 35 - 35 % 5
+    for i in range(3):
+        np.testing.assert_array_equal(u_base[i, 0], u_super[i, 0])
+        np.testing.assert_array_equal(conditioning[i, 0], u_super[i, 0])
+    assert list(lengths) == [40, 35, 50]  # pre-crop, reference semantics
