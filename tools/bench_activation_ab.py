@@ -18,20 +18,32 @@ axon per-dispatch cost (~2.4 ms) cancels.
 """
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def full_step(mode):
     import nps_tpu.models.activations as acts
 
+    # the flagship now ships GELUTanh, so patch BOTH activation classes —
+    # 'base' re-measures exact erf on today's model; historical note: the
+    # round-3 A/B that found the erf cost patched GELU when the model
+    # still held GELU instances
+    def set_act(fn):
+        acts.GELU.__call__ = lambda self, x: fn(x)
+        acts.GELUTanh.__call__ = lambda self, x: fn(x)
+
+    import jax
+
     if mode == "relu":
-        acts.GELU.__call__ = lambda self, x: __import__("jax").nn.relu(x)
+        set_act(jax.nn.relu)
     elif mode == "tanh_approx":
-        acts.GELU.__call__ = (
-            lambda self, x: __import__("jax").nn.gelu(x, approximate=True))
+        set_act(lambda x: jax.nn.gelu(x, approximate=True))
+    elif mode == "base":
+        set_act(lambda x: jax.nn.gelu(x, approximate=False))
 
     from bench import build_trainer, bench_depth
     trainer, device_batch = build_trainer()

@@ -19,7 +19,9 @@ Run on the real chip: python tools/bench_align_ab.py
 import json
 import sys
 
-sys.path.insert(0, ".")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import nps_tpu.models.unet_modern as um  # noqa: E402
 

@@ -19,14 +19,18 @@ Run on the real chip: python tools/bench_gnn_roll.py
 import sys
 import time
 
-sys.path.insert(0, ".")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 
 def offsets_for_radius(nx, ny, dx1, dx2, n):
     """Integer grid offsets within the NS radius rule n*hypot(dx1,dx2)+eps."""
-    r2 = (n * float(np.hypot(dx1, dx2))) ** 2 + 1e-4
+    # shipped rule (common/graph.py grid_edges): eps pads the RADIUS, not
+    # its square — padding the square admitted extra offsets here
+    r2 = (n * float(np.hypot(dx1, dx2)) + 1e-4) ** 2
     out = []
     m = int(np.ceil(n * np.hypot(dx1, dx2) / min(dx1, dx2))) + 1
     for di in range(-m, m + 1):

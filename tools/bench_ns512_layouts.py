@@ -10,7 +10,7 @@ the real GSPMD partitioning) for each layout:
 
   dp8          batch  8, P("data")           — 1 sample/chip
   dp8_b16      batch 16, P("data")           — 2 samples/chip (known fit)
-  dp8_b32      batch 32, P("data")           — 3? (known single-chip OOM at 4)
+  dp8_b24      batch 24, P("data")           — 3? (known single-chip OOM at 4)
   dp4_sp2      batch  8, ("data","x") 4x2    — 2 samples/chip, X sharded /2
   dp2_sp4      batch  8, ("data","x") 2x4    — 4 samples/chip, X sharded /4
   dp2_sp4_b16  batch 16, ("data","x") 2x4    — 8 samples/chip, X sharded /4
@@ -36,7 +36,7 @@ def build_trainer_aot():
 
     import nps_tpu.models as models
     from nps_tpu.common.interfaces import D
-    from nps_tpu.models.activations import GELU, Tanh
+    from nps_tpu.models.activations import GELUTanh, Tanh
     from nps_tpu.models.config import set_compute_dtype
     from nps_tpu.pde import PDE2D
     from nps_tpu.train.losses import build_criterion
@@ -54,7 +54,8 @@ def build_trainer_aot():
         approx_volume_preserve_mode="individual_static", max_pct_dif=1 / TW,
         num_c=1, num_spatial_dims=2, time_window=TW, data_structure="grid",
         processor_residual=False, encoder="enc_grid.ElementWise",
-        activation=GELU(), processor="UFNO", fno_modes=20, hidden_blocks=3,
+        activation=GELUTanh(),  # cfg_ns512_ufno ships GELUTanh
+        processor="UFNO", fno_modes=20, hidden_blocks=3,
         hidden_features=128, fno_kernel_size=1, fno_conv_mode="single",
         padding_mode="circular", ch_mults=[1, 1, 1],
         is_attn=[False, False, False], mid_attn=False, norm=True,
@@ -112,8 +113,20 @@ def main():
             specs = param_partition_specs(params_s, mesh.shape["model"])
             p_sh = jax.tree_util.tree_map(
                 lambda x, s: sds(x.shape, x.dtype, mesh, s), params_s, specs)
+            # the REAL TP trainer shards the Adam state too (tx.init on
+            # sharded params preserves their sharding) — replicating it
+            # here overstated per-chip HBM by ~2x the params size and
+            # could report a layout that actually fits as OOM. Adam's
+            # mu/nu mirror param shapes; count/scalars replicate.
+            shape_to_spec = {}
+            for x, s in zip(jax.tree_util.tree_leaves(params_s),
+                            jax.tree_util.tree_leaves(
+                                specs, is_leaf=lambda v: isinstance(v, P))):
+                shape_to_spec.setdefault((x.shape, x.dtype), s)
             o_sh = jax.tree_util.tree_map(
-                lambda x: sds(x.shape, x.dtype, mesh, P()), opt_s)
+                lambda x: sds(x.shape, x.dtype, mesh,
+                              shape_to_spec.get((x.shape, x.dtype), P())),
+                opt_s)
         else:
             p_sh, o_sh = repl(params_s), repl(opt_s)
         u_spec = (P("data", None, None, x_axis, None) if x_axis
@@ -164,6 +177,10 @@ def main():
                                       (4, 2), tp=True),
     }
     names = sys.argv[1:] or ["dp8_b16", "dp2_sp4_b16", "dp4_tp2_b16"]
+    unknown = [n for n in names if n not in catalog]
+    if unknown:
+        sys.exit(f"unknown layout(s) {unknown}; choose from "
+                 f"{sorted(catalog)}")
     results = {n: catalog[n]() for n in names}
     print(json.dumps(results))
 

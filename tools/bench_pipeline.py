@@ -111,10 +111,17 @@ def bench_epoch(dataset, epochs=2, cache=None, remat=False):
         train_loader = DeviceCacheLoader(dataset.train, BATCH, seed=0)
     trainer.ensure_initialized(train_loader)
 
-    # epoch 1 pays compile; then timed epochs. depth is ramped to
-    # unrolling=1 (epoch >= lr_step_interval), the mid-ramp regime
+    # warm-up epochs pay the compiles: the random per-batch depth (0 or 1
+    # at this ramp level) times the batch-size variants (a partial last
+    # batch adds one) = up to 4 jit keys; two warm-up epochs make a cold
+    # compile inside the timed window very unlikely, and the partial-batch
+    # variants compile on their single fixed position in the epoch
     trainer.train_one_epoch(train_loader, 1)
-    n = BATCH * len(train_loader)
+    trainer.train_one_epoch(train_loader, 1)
+    # count samples actually trained (drop_last=False keeps the partial
+    # last batch; BATCH * len(loader) would overstate by up to 20%)
+    n = sum(min(BATCH, len(dataset.train) - i * BATCH)
+            for i in range(len(train_loader)))
     t0 = time.perf_counter()
     for e in range(epochs):
         trainer.train_one_epoch(train_loader, 1 + e)

@@ -28,7 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 V5E_BF16_PEAK = 197e12   # FLOP/s
 V5E_HBM_BW = 819e9       # B/s
-MEASURED_STEP_S = 0.578  # bench.py depth-1, batch 16 (BASELINE.md)
+# bench.py depth-1, batch 16. Override with argv[1] (ms) to pair the
+# cost analysis with the measurement of the CURRENT program — the
+# default is the shipped GELUTanh step (461 ms, BASELINE.md); the round-3
+# erf analysis used 578 ms against the then-shipped exact-GELU step.
+MEASURED_STEP_S = (float(sys.argv[1]) / 1e3 if len(sys.argv) > 1
+                   else 0.461)
 
 TW, NX, BATCH = 25, 128, 16
 MAX_UNROLL = 8

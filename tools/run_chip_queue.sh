@@ -30,6 +30,9 @@ run() {
 }
 
 run gn_micro   2400 python tools/bench_gn_stats.py
+# TP layout memory re-check: the original analysis replicated the Adam
+# state (fixed — the real TP trainer shards it); dp4_tp2_b16 may now fit
+run ns512_tp   3600 python tools/bench_ns512_layouts.py dp4_tp2_b16
 run ns512_b2   3600 python tools/bench_ns512.py --batches=2
 run depth1_mxu 3600 env NPS_GN_STATS=mxu python tools/bench_depth1.py
 run bench_all  9000 python tools/bench_all.py
