@@ -87,3 +87,43 @@ class PDE2D(PDE):
     @property
     def spatial_shape(self):
         return (self.nx1, self.nx2)
+
+
+class PDE3D(PDE):
+    """3D PDE metadata.
+
+    The reference has no PDE3D class but its model stack is dimension-generic
+    (``src/models/common.py:37-47`` dispatches Conv3d, ``proc_fno.py:291-376``
+    implements SpectralConv3d); 3D runs there use the generic ``PDE`` base
+    with ad-hoc kwargs. This class gives that capability a first-class
+    metadata object, mirroring PDE2D's derived quantities.
+    """
+
+    def __init__(self, tmin, tmax, nt, L1, L2, L3, nx1, nx2, nx3, x, name,
+                 n_cond_static=0, n_cond_dynamic=0, n_cond_spatial=0, **kwargs):
+        super().__init__(tmin, tmax, nt, name, n_cond_static, n_cond_dynamic,
+                         n_cond_spatial, **kwargs)
+        self.L1, self.L2, self.L3 = float(L1), float(L2), float(L3)
+        self.L = [self.L1, self.L2, self.L3]
+        self.nx1, self.nx2, self.nx3 = int(nx1), int(nx2), int(nx3)
+
+        # same dt convention as PDE2D (reference src/pdes/base.py:43)
+        self.dt = self.tmax / (self.nt - 1)
+        self.dx1 = self.L1 / (self.nx1 - 1)
+        self.dx2 = self.L2 / (self.nx2 - 1)
+        self.dx3 = self.L3 / (self.nx3 - 1)
+        self.dxs = [self.dx1, self.dx2, self.dx3]
+
+        if x is None:
+            grids = [np.linspace(0.0, L, n, dtype=np.float32)
+                     for L, n in zip(self.L, (self.nx1, self.nx2, self.nx3))]
+            x = np.stack(np.meshgrid(*grids, indexing="ij"), axis=-1)
+        self.x = np.asarray(x)
+
+    @property
+    def num_spatial_dims(self):
+        return 3
+
+    @property
+    def spatial_shape(self):
+        return (self.nx1, self.nx2, self.nx3)
