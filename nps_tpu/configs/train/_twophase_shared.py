@@ -57,6 +57,10 @@ def make_trainer(base_args):
         process_settings={},
         # TPU-native extensions (inert on the reference workloads):
         data_parallel=False,
+        spatial_parallel=0,
+        tensor_parallel=0,
+        pipeline_parallel=0,
+        pipeline_microbatches=0,
         device_cache=False,
         matmul_precision=None,
         compute_dtype=None,

@@ -5,3 +5,5 @@ from nps_tpu.parallel.tensor import (  # noqa: F401
     make_dp_tp_mesh, param_partition_specs, shard_params, param_shardings)
 from nps_tpu.parallel.multihost import (  # noqa: F401
     process_slice, shard_indices_for_process, assemble_global_batch)
+from nps_tpu.parallel.pipeline import (  # noqa: F401
+    make_dp_pp_mesh, make_pipelined_apply)

@@ -143,8 +143,28 @@ class TrainInterface(metaclass=ABCMeta):
 
         n_spatial = int(getattr(self.config, "spatial_parallel", 0) or 0)
         n_tp = int(getattr(self.config, "tensor_parallel", 0) or 0)
+        n_pp = int(getattr(self.config, "pipeline_parallel", 0) or 0)
         self.tp = 0
-        if n_tp > 1:
+        self.pp = 0
+        if n_pp > 1:
+            # 2-D ("data", "pipe") mesh: batches shard on "data", processor
+            # stages stream over "pipe" via shard_map + ppermute
+            # (nps_tpu.parallel.pipeline). Params stay replicated — PP here
+            # shards compute/activations, not weights.
+            if n_tp > 1 or n_spatial > 1:
+                raise ValueError(
+                    "pipeline_parallel composes with data parallelism only; "
+                    "unset tensor_parallel/spatial_parallel")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from nps_tpu.parallel.pipeline import make_dp_pp_mesh
+
+            devices = [d for d in jax.devices()
+                       if d.platform == self.device.platform]
+            self.mesh = make_dp_pp_mesh(n_pp, devices)
+            self.sharding = NamedSharding(self.mesh, P("data"))
+            self.pp = n_pp
+        elif n_tp > 1:
             # 2-D ("data", "model") mesh: batches shard on "data", weight
             # out-feature dims on "model"; GSPMD inserts the weight
             # all-gathers / grad reduce-scatters (nps_tpu.parallel.tensor)

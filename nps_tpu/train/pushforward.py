@@ -99,6 +99,7 @@ class AutoregressivePushforwardTrainer(TrainInterface):
             x_resolution=config.base_resolution[1])
         self._graph_cache = {}
         self._graph_hash = {}
+        self._pp_apply = None
 
     def _on_state_rebuilt(self):
         self._jit_cache = {}
@@ -150,6 +151,10 @@ class AutoregressivePushforwardTrainer(TrainInterface):
 
     def _apply(self, params, data, cond, bc, pos, t_cond, spatial_cond):
         if self._is_gnn():
+            if getattr(self, "pp", 0) > 1:
+                raise ValueError(
+                    "pipeline_parallel supports grid models only; the GNN "
+                    "path shards over data instead (data_parallel=true)")
             # grid window <-> node space at the model boundary; the graph
             # structure is static so the conversion is two reshapes
             from nps_tpu.common import graph as G
@@ -166,6 +171,19 @@ class AutoregressivePushforwardTrainer(TrainInterface):
                                    t_cond=t_cond, spatial_cond=spatial_cond,
                                    grid_meta=meta)
             return G.nodes_to_grid(out, b, sp)
+        if getattr(self, "pp", 0) > 1:
+            # pipeline parallelism: the processor chain streams over the
+            # mesh's "pipe" axis (nps_tpu.parallel.pipeline); same
+            # semantics as model.apply, pinned by test_pipeline_parallel
+            if self._pp_apply is None:
+                from nps_tpu.parallel.pipeline import make_pipelined_apply
+
+                n_micro = int(getattr(self.config,
+                                      "pipeline_microbatches", 0) or 0)
+                self._pp_apply = make_pipelined_apply(
+                    self.model, self.mesh, n_micro=n_micro or None)
+            return self._pp_apply(params, data, cond=cond, bc=bc, pos=pos,
+                                  t_cond=t_cond, spatial_cond=spatial_cond)
         return self.model.apply(params, data, cond=cond, bc=bc, pos=pos,
                                 t_cond=t_cond, spatial_cond=spatial_cond)
 

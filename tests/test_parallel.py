@@ -206,7 +206,7 @@ def test_trainer_device_cache_with_dp(mesh, tmp_path):
 
 
 def _resume_trainer(dataset, tmp_path, tag, num_epochs, resume=False,
-                    parallel=None):
+                    parallel=None, blocks=1):
     import nps_tpu.models as models
     from nps_tpu.models.activations import GELU
     from nps_tpu.train import AutoregressivePushforwardTrainer, build_criterion
@@ -215,7 +215,7 @@ def _resume_trainer(dataset, tmp_path, tag, num_epochs, resume=False,
     model = models.EncProcDec(
         num_c=1, num_spatial_dims=2, time_window=tw,
         encoder="enc_grid.ElementWise", activation=GELU(),
-        processor="DilatedResnet", kernel_size=3, hidden_blocks=1,
+        processor="DilatedResnet", kernel_size=3, hidden_blocks=blocks,
         hidden_features=8, padding_mode="circular",
         decoder="dec_grid.TimeConvDense", dec_delta_mode="per_step",
         pde=dataset.pde)
@@ -280,29 +280,33 @@ def test_resume_continues_training_under_dp(mesh, tmp_path, resume_dataset):
 
 
 @pytest.mark.parametrize("parallel", [dict(spatial_parallel=2),
-                                      dict(tensor_parallel=2)],
-                         ids=["sp2", "tp2"])
+                                      dict(tensor_parallel=2),
+                                      dict(pipeline_parallel=2)],
+                         ids=["sp2", "tp2", "pp2"])
 def test_resume_continues_training_under_sp_tp(mesh, tmp_path,
                                                resume_dataset, parallel):
-    """Kill-and-resume must also hold under spatial and tensor parallelism:
-    _place_state re-places restored params per the trainer's mode
-    (replication on the grid mesh; model-axis weight sharding under tp)."""
+    """Kill-and-resume must also hold under spatial/tensor/pipeline
+    parallelism: _place_state re-places restored params per the trainer's
+    mode (replication on the grid/pipe meshes; model-axis weight sharding
+    under tp)."""
     from nps_tpu.utils.seed import set_seed
 
-    tag = "sp" if "spatial_parallel" in parallel else "tp"
+    tag = next(iter(parallel))[:2]
+    # pipeline parallelism needs >= 2 homogeneous stages
+    blocks = 2 if "pipeline_parallel" in parallel else 1
     set_seed(13)
     trA = _resume_trainer(resume_dataset, tmp_path, tag + "A", num_epochs=3,
-                          parallel=parallel)
+                          parallel=parallel, blocks=blocks)
     lossesA, _, _ = trA.train()
 
     set_seed(13)
     trB = _resume_trainer(resume_dataset, tmp_path, tag + "B", num_epochs=2,
-                          parallel=parallel)
+                          parallel=parallel, blocks=blocks)
     lossesB, _, _ = trB.train()
     assert np.allclose(lossesB, lossesA[:2], rtol=1e-6)
     set_seed(13)
     trB2 = _resume_trainer(resume_dataset, tmp_path, tag + "B", num_epochs=3,
-                           resume=True, parallel=parallel)
+                           resume=True, parallel=parallel, blocks=blocks)
     lossesB2, _, _ = trB2.train()
     assert trB2.start_epoch == 2
     # restored params live on the full mesh, not one device
