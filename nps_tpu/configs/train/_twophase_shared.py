@@ -61,6 +61,7 @@ def make_trainer(base_args):
         tensor_parallel=0,
         pipeline_parallel=0,
         pipeline_microbatches=0,
+        expert_parallel=0,
         device_cache=False,
         matmul_precision=None,
         compute_dtype=None,

@@ -7,3 +7,5 @@ from nps_tpu.parallel.multihost import (  # noqa: F401
     process_slice, shard_indices_for_process, assemble_global_batch)
 from nps_tpu.parallel.pipeline import (  # noqa: F401
     make_dp_pp_mesh, make_pipelined_apply)
+from nps_tpu.parallel.expert import (  # noqa: F401
+    make_dp_ep_mesh, expert_partition_specs, shard_expert_params)

@@ -144,9 +144,29 @@ class TrainInterface(metaclass=ABCMeta):
         n_spatial = int(getattr(self.config, "spatial_parallel", 0) or 0)
         n_tp = int(getattr(self.config, "tensor_parallel", 0) or 0)
         n_pp = int(getattr(self.config, "pipeline_parallel", 0) or 0)
+        n_ep = int(getattr(self.config, "expert_parallel", 0) or 0)
         self.tp = 0
         self.pp = 0
-        if n_pp > 1:
+        self.ep = 0
+        if n_ep > 1:
+            # 2-D ("data", "expert") mesh: batches shard on "data", MoE
+            # expert weight stacks (leading n_experts axis) on "expert";
+            # GSPMD partitions the vmapped expert compute and psums the
+            # gate contraction (nps_tpu.parallel.expert)
+            if n_tp > 1 or n_spatial > 1 or n_pp > 1:
+                raise ValueError(
+                    "expert_parallel composes with data parallelism only; "
+                    "unset tensor/spatial/pipeline_parallel")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from nps_tpu.parallel.expert import make_dp_ep_mesh
+
+            devices = [d for d in jax.devices()
+                       if d.platform == self.device.platform]
+            self.mesh = make_dp_ep_mesh(n_ep, devices)
+            self.sharding = NamedSharding(self.mesh, P("data"))
+            self.ep = n_ep
+        elif n_pp > 1:
             # 2-D ("data", "pipe") mesh: batches shard on "data", processor
             # stages stream over "pipe" via shard_map + ppermute
             # (nps_tpu.parallel.pipeline). Params stay replicated — PP here
@@ -279,14 +299,19 @@ class TrainInterface(metaclass=ABCMeta):
 
     def _place_state(self, tree):
         """Place a params/opt-state pytree per the trainer's parallel mode:
-        model-axis weight sharding under tensor parallelism, replication on
-        any other mesh, plain device placement otherwise."""
+        model-axis weight sharding under tensor parallelism, expert-axis
+        sharding under expert parallelism, replication on any other mesh,
+        plain device placement otherwise."""
         if self.mesh is None:
             return jax.device_put(tree)
         if self.tp > 1:
             from nps_tpu.parallel import shard_params
 
             return shard_params(tree, self.mesh)
+        if self.ep > 1:
+            from nps_tpu.parallel import shard_expert_params
+
+            return shard_expert_params(tree, self.mesh)
         from nps_tpu.parallel import replicate
 
         return replicate(tree, self.mesh)
