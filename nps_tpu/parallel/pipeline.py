@@ -46,7 +46,7 @@ import inspect
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def make_dp_pp_mesh(n_pipe, devices=None):
@@ -70,6 +70,7 @@ _BLOCK_STAGE_KEYS = {
     "UFNO": (("fno_layers_{}", "unet_layers_{}"),),
     "DilatedResnet": (("block_{}",),),
     "FNO": (("fno_layers_{}",),),
+    "MoEFNO": (("experts_{}", "gate_{}"),),
 }
 
 

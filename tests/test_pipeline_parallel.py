@@ -198,6 +198,27 @@ def test_pipelined_bc_encoder_path(mesh2):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_pipelined_moe_blocks(mesh2):
+    """MoEFNO block-granularity stages (experts + gate travel together)."""
+    tw, nx, b = 5, 16, 4
+    pde = _pde2d(nx)
+    model = models.EncProcDec(
+        num_c=1, num_spatial_dims=2, time_window=tw,
+        encoder="enc_grid.ElementWise", activation=GELU(),
+        processor="MoEFNO", n_experts=2, fno_modes=4, hidden_blocks=2,
+        hidden_features=16, fno_kernel_size=1, fno_conv_mode="single",
+        padding_mode="circular",
+        decoder="dec_grid.TimeConvDense", dec_delta_mode="per_step", pde=pde)
+    u, cond, sc, pos = _batch2d(pde, b, tw, nx, seed=6)
+    params = model.init(jax.random.PRNGKey(6), jnp.asarray(u), cond=cond,
+                        pos=pos, spatial_cond=sc)
+    ref = model.apply(params, jnp.asarray(u), cond=cond, pos=pos,
+                      spatial_cond=sc)
+    pp = make_pipelined_apply(model, mesh2)
+    out = jax.jit(pp)(params, jnp.asarray(u), cond, None, pos, None, sc)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_pipeline_rejects_heterogeneous_chain(mesh2):
     pde = _pde2d()
     model = models.EncProcDec(
