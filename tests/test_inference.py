@@ -109,3 +109,23 @@ def test_load_torch_reference_checkpoint(engine, tmp_path):
                       pos=torch.tensor(pos), t_cond=None,
                       spatial_cond=torch.tensor(sc)).numpy()
     np.testing.assert_allclose(out[:, :, :TW], p, rtol=1e-3, atol=1e-4)
+
+
+def test_moe_config_engine_rollout():
+    """The beyond-reference MoE config serves through the same engine:
+    config-driven build, init, jitted rollout (cfg_twophase_moe.py)."""
+    pde = PDE2D(tmin=0, tmax=10, nt=101, L1=1.0, L2=0.7, nx1=NX1, nx2=NX2,
+                x=None, name="twophase", n_cond_static=2, n_cond_spatial=2)
+    eng = SurrogateEngine.from_config(
+        "nps_tpu/configs/train/cfg_twophase_moe.py", pde=pde,
+        overrides=["--model.hidden_features=8", "--model.hidden_blocks=1",
+                   "--model.fno_modes=4", "--model.n_experts=2",
+                   "--time_window=5"])
+    rng = np.random.default_rng(1)
+    u0 = (rng.random((2, 1, 5, NX1, NX2)) * 0.9).astype(np.float32)
+    cond = rng.random((2, 2)).astype(np.float32)
+    sc = np.zeros((2, 2, NX1, NX2), np.float32)
+    eng.init_params(u0, cond=cond, spatial_cond=sc)
+    out = eng.rollout(u0, n_steps=2, cond=cond, spatial_cond=sc)
+    assert out.shape == (2, 1, 10, NX1, NX2)
+    assert np.isfinite(out).all()
