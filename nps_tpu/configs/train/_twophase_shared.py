@@ -62,6 +62,7 @@ def make_trainer(base_args):
         pipeline_parallel=0,
         pipeline_microbatches=0,
         expert_parallel=0,
+        zero1=False,
         device_cache=False,
         matmul_precision=None,
         compute_dtype=None,

@@ -9,3 +9,5 @@ from nps_tpu.parallel.pipeline import (  # noqa: F401
     make_dp_pp_mesh, make_pipelined_apply)
 from nps_tpu.parallel.expert import (  # noqa: F401
     make_dp_ep_mesh, expert_partition_specs, shard_expert_params)
+from nps_tpu.parallel.zero import (  # noqa: F401
+    opt_state_specs, shard_opt_state)

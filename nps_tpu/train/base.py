@@ -253,8 +253,29 @@ class TrainInterface(metaclass=ABCMeta):
         else:
             self.tx, self.base_lr = spec
         self.opt_state = self.tx.init(self.params)
+        if self._zero1():
+            # ZeRO-1: the Adam moments shard over the "data" axis instead
+            # of replicating; XLA derives the reduce/update/all-gather
+            # schedule inside the existing jitted step (parallel/zero.py)
+            from nps_tpu.parallel import shard_opt_state
+
+            self.opt_state = shard_opt_state(self.opt_state, self.mesh)
         self._build_lr_scheduler()
         self._on_state_rebuilt()
+
+    def _zero1(self):
+        if not getattr(self.config, "zero1", False):
+            return False
+        if self.mesh is None or "data" not in dict(self.mesh.shape):
+            raise ValueError(
+                "zero1=true needs a device mesh with a 'data' axis: enable "
+                "data_parallel (or a dp x spatial/pipeline/expert layout)")
+        if self.tp > 1:
+            raise ValueError(
+                "zero1 is redundant under tensor_parallel: tx.init on the "
+                "TP-sharded params already shards the moments with the "
+                "weights")
+        return True
 
     def _build_lr_scheduler(self):
         spec = self.lr_scheduler_spec
@@ -843,7 +864,12 @@ class TrainInterface(metaclass=ABCMeta):
         # device_put would commit to ONE device and break the parallel
         # step's replicated/sharded-params assumption
         self.params = self._place_state(state["params"])
-        self.opt_state = self._place_state(state["opt_state"])
+        if self._zero1():
+            from nps_tpu.parallel import shard_opt_state
+
+            self.opt_state = shard_opt_state(state["opt_state"], self.mesh)
+        else:
+            self.opt_state = self._place_state(state["opt_state"])
         self.start_epoch = state["epoch"]
         self._resumed_min_val_loss = dict(state.get("min_val_loss", {}))
         if train_loader is not None and "loader_rng" in state \

@@ -15,6 +15,9 @@ the real GSPMD partitioning) for each layout:
   dp2_sp4      batch  8, ("data","x") 2x4    — 4 samples/chip, X sharded /4
   dp2_sp4_b16  batch 16, ("data","x") 2x4    — 8 samples/chip, X sharded /4
   dp4_tp2      batch  8, ("data","model") 4x2 — weights sharded
+  dp8_b*_zero1 ZeRO-1: Adam moments sharded over "data" (parallel/zero.py)
+               — the batch-24 row asks whether freeing ~2x params bytes of
+               replicated moments per chip lifts the DP capacity to 3/chip
 
 Run: python tools/bench_ns512_layouts.py
 """
@@ -105,11 +108,21 @@ def main():
         return jax.ShapeDtypeStruct(shape, dtype,
                                     sharding=NamedSharding(mesh, spec))
 
-    def layout(name, batch, mesh_axes, mesh_shape, x_axis=None, tp=False):
+    def layout(name, batch, mesh_axes, mesh_shape, x_axis=None, tp=False,
+               zero1=False):
         mesh = Mesh(devs.reshape(mesh_shape), mesh_axes)
         repl = lambda t: jax.tree_util.tree_map(
             lambda x: sds(x.shape, x.dtype, mesh, P()), t)
-        if tp:
+        if zero1:
+            # ZeRO-1: params replicated, Adam moments sharded over "data"
+            # (parallel/zero.py) — returns ~2x params bytes per chip
+            from nps_tpu.parallel.zero import opt_state_specs
+
+            p_sh = repl(params_s)
+            ospecs = opt_state_specs(opt_s, mesh)
+            o_sh = jax.tree_util.tree_map(
+                lambda x, s: sds(x.shape, x.dtype, mesh, s), opt_s, ospecs)
+        elif tp:
             specs = param_partition_specs(params_s, mesh.shape["model"])
             p_sh = jax.tree_util.tree_map(
                 lambda x, s: sds(x.shape, x.dtype, mesh, s), params_s, specs)
@@ -175,6 +188,10 @@ def main():
                                   tp=True),
         "dp4_tp2_b16": lambda: layout("dp4_tp2_b16", 16, ("data", "model"),
                                       (4, 2), tp=True),
+        "dp8_b16_zero1": lambda: layout("dp8_b16_zero1", 16, ("data",),
+                                        (8,), zero1=True),
+        "dp8_b24_zero1": lambda: layout("dp8_b24_zero1", 24, ("data",),
+                                        (8,), zero1=True),
     }
     names = sys.argv[1:] or ["dp8_b16", "dp2_sp4_b16", "dp4_tp2_b16"]
     unknown = [n for n in names if n not in catalog]
