@@ -63,6 +63,7 @@ def make_trainer(base_args):
         pipeline_microbatches=0,
         expert_parallel=0,
         zero1=False,
+        grad_accum=0,  # >1 -> optax.MultiSteps gradient accumulation
         device_cache=False,
         matmul_precision=None,
         compute_dtype=None,

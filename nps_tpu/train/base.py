@@ -252,6 +252,16 @@ class TrainInterface(metaclass=ABCMeta):
             self.tx, self.base_lr = optim_lib.build_optimizer(**spec)
         else:
             self.tx, self.base_lr = spec
+        accum = int(getattr(self.config, "grad_accum", 0) or 0)
+        if accum > 1:
+            # gradient accumulation: optax.MultiSteps averages grads over
+            # `accum` mini-batches and applies one optimizer step at the
+            # boundary — the effective batch is accum x batch_size with
+            # unchanged per-step HBM (pairs with large-grid configs where
+            # the per-chip batch is capacity-capped)
+            import optax
+
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=accum)
         self.opt_state = self.tx.init(self.params)
         if self._zero1():
             # ZeRO-1: the Adam moments shard over the "data" axis instead

@@ -101,9 +101,13 @@ def build_lr_scheduler(base_lr, object=None, **kwargs):
 
 def set_learning_rate(opt_state, lr):
     """Return a new optax opt state with the injected learning rate updated
-    (functional; safe with donated buffers)."""
+    (functional; safe with donated buffers). Recurses through wrapper
+    states (e.g. ``optax.MultiSteps`` under ``trainer.grad_accum``)."""
     import jax.numpy as jnp
 
+    if hasattr(opt_state, "inner_opt_state"):  # MultiStepsState et al.
+        return opt_state._replace(
+            inner_opt_state=set_learning_rate(opt_state.inner_opt_state, lr))
     new_hp = {**opt_state.hyperparams,
               "learning_rate": jnp.asarray(lr, jnp.float32)}
     return opt_state._replace(hyperparams=new_hp)
