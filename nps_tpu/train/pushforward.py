@@ -203,6 +203,7 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         criterion = self.criterion
         tx = self.tx
         precision = self._precision()
+        zero_sh = self._zero_shardings()  # ZeRO-1 in-step constraints
 
         if t_res - tw - tw * unrolled + 1 <= tw:
             # jax.random.randint does not validate an empty range; it would
@@ -261,7 +262,16 @@ class AutoregressivePushforwardTrainer(TrainInterface):
                 return jnp.sqrt(criterion(pred, labels))  # loss (:161-162)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
+            if zero_sh is not None:
+                # ZeRO-1: shard the grads like the moments (the backward's
+                # all-reduce becomes a reduce-scatter) and pin the updated
+                # state sharded, so the optimizer math runs on 1/K shards
+                # and only the param update all-gathers (base._zero_shardings)
+                grads = jax.lax.with_sharding_constraint(grads, zero_sh[0])
             updates, opt_state = tx.update(grads, opt_state, params)
+            if zero_sh is not None:
+                opt_state = jax.lax.with_sharding_constraint(
+                    opt_state, zero_sh[1])
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
             return params, opt_state, loss
 

@@ -115,9 +115,17 @@ def main():
             lambda x: sds(x.shape, x.dtype, mesh, P()), t)
         if zero1:
             # ZeRO-1: params replicated, Adam moments sharded over "data"
-            # (parallel/zero.py) — returns ~2x params bytes per chip
+            # (parallel/zero.py) — returns ~2x params bytes per chip.
+            # The trainer must ALSO emit its in-step sharding constraints
+            # (base._zero_shardings: grads reduce-scattered, update math
+            # sharded) — input sharding alone measured WORSE than no ZeRO
+            # (18.5 GB: the partitioner all-gathered the moments instead)
             from nps_tpu.parallel.zero import opt_state_specs
 
+            tr.config.zero1 = True
+            tr.mesh = mesh
+            tr.params = params_s
+            tr.opt_state = opt_s
             p_sh = repl(params_s)
             ospecs = opt_state_specs(opt_s, mesh)
             o_sh = jax.tree_util.tree_map(
@@ -156,6 +164,9 @@ def main():
             sds((2,), np.uint32, mesh, P()),
         )
         fn = tr._make_train_step(1, batch, T_RES)
+        if zero1:  # don't leak the zero1 wiring into later layouts
+            tr.config.zero1 = False
+            tr.mesh, tr.params, tr.opt_state = None, None, None
         try:
             compiled = fn.lower(*args).compile()
             ma = compiled.memory_analysis()
