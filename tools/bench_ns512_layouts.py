@@ -177,7 +177,7 @@ def main():
                        args_gib=round(argb / GIB, 2) if argb else None)
         except Exception as e:
             msg = str(e)
-            out = dict(fit=False, error=msg[:200])
+            out = dict(fit=False, error=msg[:4000])
         print(f"{name:14s}: {out}", flush=True)
         return out
 

@@ -20,6 +20,13 @@ LOG=/tmp/chip_queue
 mkdir -p "$LOG"
 : > "$LOG/summary.txt"
 
+# a local AOT compile (tools/bench_ns512_layouts.py) may hold the libtpu
+# lockfile for up to ~2h; wait for it rather than racing every queue job
+while [ -f /tmp/zero1_aot.pid ] && kill -0 "$(cat /tmp/zero1_aot.pid)" 2>/dev/null; do
+  echo "waiting for local AOT ($(cat /tmp/zero1_aot.pid)) $(date +%H:%M:%S)" >> "$LOG/summary.txt"
+  sleep 120
+done
+
 run() {
   local name=$1 tmo=$2; shift 2
   echo "=== $name start $(date +%H:%M:%S)" | tee -a "$LOG/summary.txt"
