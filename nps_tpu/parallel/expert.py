@@ -17,18 +17,13 @@ collectives.
 
 import numpy as np
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def make_dp_ep_mesh(n_expert, devices=None):
     """2-D ("data", "expert") mesh: DP rows x expert-parallel columns."""
-    if devices is None:
-        devices = jax.devices()
-    n = len(devices)
-    assert n % n_expert == 0, \
-        f"{n} devices not divisible by expert_parallel={n_expert}"
-    grid = np.asarray(devices).reshape(n // n_expert, n_expert)
-    return Mesh(grid, ("data", "expert"))
+    from nps_tpu.parallel.mesh import make_dp_mesh
+    return make_dp_mesh(n_expert, "expert", "expert_parallel", devices)
 
 
 def _in_expert_module(path):
@@ -38,8 +33,16 @@ def _in_expert_module(path):
 
 def _leaf_spec(path, leaf, n_expert):
     shape = getattr(leaf, "shape", ())
-    if _in_expert_module(path) and len(shape) >= 1 \
-            and shape[0] % n_expert == 0:
+    if _in_expert_module(path):
+        # loud, not silent: a non-divisible expert stack would otherwise
+        # replicate everything and run K-times-redundant compute while the
+        # user believes experts are sharded
+        if len(shape) < 1 or shape[0] % n_expert != 0:
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            raise ValueError(
+                f"expert_parallel={n_expert} does not divide the expert "
+                f"stack axis of '{name}' (shape {tuple(shape)}); set "
+                f"model.n_experts to a multiple of expert_parallel")
         return P("expert", *([None] * (len(shape) - 1)))
     return P()
 

@@ -42,6 +42,22 @@ def make_mesh(devices=None, axis_name="data"):
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_dp_mesh(n_col, axis_name, flag_name, devices=None):
+    """2-D ("data", axis_name) mesh: DP rows x ``n_col`` model-axis columns.
+
+    Shared constructor behind make_dp_tp_mesh / make_dp_pp_mesh /
+    make_dp_ep_mesh — one place for the divisibility check and device
+    ordering."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % n_col != 0:
+        raise ValueError(
+            f"{n} devices not divisible by {flag_name}={n_col}")
+    grid = np.asarray(devices).reshape(n // n_col, n_col)
+    return Mesh(grid, ("data", axis_name))
+
+
 def batch_sharding(mesh, axis_name="data"):
     """Shard the leading (batch) dim across the mesh; replicate the rest."""
     return NamedSharding(mesh, P(axis_name))

@@ -46,18 +46,13 @@ import inspect
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 
 def make_dp_pp_mesh(n_pipe, devices=None):
     """2-D ("data", "pipe") mesh: DP rows x pipeline-stage columns."""
-    if devices is None:
-        devices = jax.devices()
-    n = len(devices)
-    assert n % n_pipe == 0, \
-        f"{n} devices not divisible by pipeline_parallel={n_pipe}"
-    grid = np.asarray(devices).reshape(n // n_pipe, n_pipe)
-    return Mesh(grid, ("data", "pipe"))
+    from nps_tpu.parallel.mesh import make_dp_mesh
+    return make_dp_mesh(n_pipe, "pipe", "pipeline_parallel", devices)
 
 
 # ---------------------------------------------------------------------------

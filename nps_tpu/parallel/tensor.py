@@ -22,18 +22,13 @@ it is validated-capability rather than a speedup.
 
 import numpy as np
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def make_dp_tp_mesh(n_model, devices=None):
     """2-D ("data", "model") mesh: DP rows x TP columns."""
-    if devices is None:
-        devices = jax.devices()
-    n = len(devices)
-    assert n % n_model == 0, \
-        f"{n} devices not divisible by model_parallel={n_model}"
-    grid = np.asarray(devices).reshape(n // n_model, n_model)
-    return Mesh(grid, ("data", "model"))
+    from nps_tpu.parallel.mesh import make_dp_mesh
+    return make_dp_mesh(n_model, "model", "tensor_parallel", devices)
 
 
 def _leaf_spec(path, leaf, n_model):

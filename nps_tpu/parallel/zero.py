@@ -21,9 +21,10 @@ by ~0.2 GB (BASELINE.md "ns512 layouts"). Sharding the moments over 8
 ranks returns ~0.6 GB/chip — the difference between batch 2 and batch 3.
 
 Enable with ``--trainer.zero1=true`` (requires a mesh with a "data" axis;
-composes with dp/spatial/pipeline/expert layouts; under tensor parallelism
-the moments already follow the weight sharding, so zero1 is rejected
-there).
+composes with dp/spatial/pipeline layouts; under tensor OR expert
+parallelism the moments already follow the weight sharding from tx.init,
+so zero1 is rejected there — re-placing them on "data" would just force a
+per-step reshard).
 """
 
 import jax

@@ -184,6 +184,22 @@ class TrainInterface(metaclass=ABCMeta):
             self.mesh = make_dp_pp_mesh(n_pp, devices)
             self.sharding = NamedSharding(self.mesh, P("data"))
             self.pp = n_pp
+            # an n_micro that can never divide the steady-state per-data-rank
+            # batch would silently route EVERY batch through the sequential
+            # remainder fallback — no pipelining at all; fail at setup
+            n_micro = int(getattr(self.config, "pipeline_microbatches", 0)
+                          or 0)
+            if n_micro:
+                bs = int(self.config.batch_size)
+                n_data = len(devices) // n_pp
+                if bs % n_data != 0 or (bs // n_data) % n_micro != 0:
+                    raise ValueError(
+                        f"pipeline_microbatches={n_micro} never divides the "
+                        f"steady-state per-data-rank batch "
+                        f"({bs}/{n_data} data ranks): every batch would "
+                        f"fall back to the sequential (unpipelined) apply. "
+                        f"Pick batch_size/microbatches so that "
+                        f"(batch_size // {n_data}) % microbatches == 0")
         elif n_tp > 1:
             # 2-D ("data", "model") mesh: batches shard on "data", weight
             # out-feature dims on "model"; GSPMD inserts the weight
@@ -285,6 +301,12 @@ class TrainInterface(metaclass=ABCMeta):
                 "zero1 is redundant under tensor_parallel: tx.init on the "
                 "TP-sharded params already shards the moments with the "
                 "weights")
+        if self.ep > 1:
+            raise ValueError(
+                "zero1 is redundant under expert_parallel: tx.init on the "
+                "expert-sharded params already shards the moments on the "
+                "'expert' axis; re-placing them on 'data' would force a "
+                "full reshard of every expert grad+moment each step")
         return True
 
     def _zero_shardings(self):

@@ -105,6 +105,14 @@ def test_expert_partition_specs(mesh):
         assert leaf == P()
 
 
+def test_expert_specs_reject_non_divisible_stack():
+    """n_experts not divisible by the expert-mesh extent must fail loudly,
+    not silently replicate (K-times-redundant compute with no sharding)."""
+    params = {"processor_0": {"experts_0": {"kernel": np.zeros((2, 3, 3))}}}
+    with pytest.raises(ValueError, match="n_experts"):
+        expert_partition_specs(params, 4)
+
+
 def test_expert_sharded_matches_unsharded(mesh):
     """Forward + gradients with experts sharded over the mesh equal the
     unsharded results (GSPMD partitions the vmapped experts and psums the

@@ -233,6 +233,40 @@ def test_pipeline_rejects_heterogeneous_chain(mesh2):
         make_pipelined_apply(model, mesh2)
 
 
+def test_pipeline_rejects_never_dividing_microbatches(tmp_path):
+    """pipeline_microbatches that can never divide the steady-state
+    per-data-rank batch must fail at trainer setup — otherwise EVERY batch
+    silently routes through the sequential (unpipelined) fallback."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from nps_tpu.data.synthetic import generate
+    from nps_tpu.data.pde2d import PDE2DDataset
+    from nps_tpu.train import (AutoregressivePushforwardTrainer,
+                               build_criterion)
+
+    d = tmp_path / "twophase"
+    generate(str(d), n_sims=8, n_channels=2, nt=21, nx1=16, nx2=16, seed=3)
+    dataset = PDE2DDataset(
+        base_path=str(tmp_path), experiment="twophase", data_format="memmap",
+        data_file="snapshots", conditioning="conditioning",
+        spatial_conditioning="spatial_conditioning", split_file="split",
+        c_filter=[1], name="twophase")
+    tw = 5
+    model = _wrapped_ufno(dataset.pde, tw, blocks=2)
+    # 8 devices / pp=2 -> 4 data ranks; batch 8 -> b_loc=2; 2 % 3 != 0
+    with pytest.raises(ValueError, match="microbatches"):
+        AutoregressivePushforwardTrainer(
+            model=model, data=dataset,
+            criterion=build_criterion(object="nn.MSELoss", reduction="sum"),
+            optimizer=dict(object="optim.Adam", lr=1e-3), lr_scheduler=None,
+            save_path=str(tmp_path / "model"), time_window=tw,
+            base_resolution=(21, 16, 16), super_resolution=(21, 16, 16),
+            device="cpu", batch_size=8, nr_gt_steps=1, nw=0, num_epochs=1,
+            lr_step_interval=1, unrolling=1, print_interval=1,
+            test_interval=1, process_settings={},
+            pipeline_parallel=2, pipeline_microbatches=3)
+
+
 def test_pp_train_step_matches_single_device(mesh4, tmp_path):
     """One shipped pushforward train step under pipeline_parallel=4 (with
     2 DP rows) == the unsharded step: same loss, same updated params."""

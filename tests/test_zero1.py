@@ -166,6 +166,12 @@ def test_zero1_requires_mesh_and_rejects_tp(dataset, tmp_path):
             tr = _trainer(dataset, tmp_path, "e1", zero1=True, dp=False,
                           tensor_parallel=2)
             tr._zero1()
+        # expert parallelism: tx.init already shards the moments on the
+        # 'expert' axis; zero1 would force a per-step reshard — rejected
+        with pytest.raises(ValueError, match="expert_parallel"):
+            tr = _trainer(dataset, tmp_path, "e2", zero1=True, dp=False,
+                          expert_parallel=2)
+            tr._zero1()
 
 
 def test_opt_state_specs_shapes(mesh):

@@ -21,10 +21,23 @@ mkdir -p "$LOG"
 : > "$LOG/summary.txt"
 
 # a local AOT compile (tools/bench_ns512_layouts.py) may hold the libtpu
-# lockfile for up to ~2h; wait for it rather than racing every queue job
-while [ -f /tmp/zero1_aot.pid ] && kill -0 "$(cat /tmp/zero1_aot.pid)" 2>/dev/null; do
-  echo "waiting for local AOT ($(cat /tmp/zero1_aot.pid)) $(date +%H:%M:%S)" >> "$LOG/summary.txt"
-  sleep 120
+# lockfile for up to ~2h; wait for it rather than racing every queue job.
+# Bounded (3h) and cmdline-checked: kill -0 alone can match a reused pid
+# forever if the AOT crashed without cleaning up its pid file.
+WAITED=0
+while [ -f /tmp/zero1_aot.pid ]; do
+  AOT_PID=$(cat /tmp/zero1_aot.pid)
+  if ! kill -0 "$AOT_PID" 2>/dev/null; then break; fi
+  if ! grep -qa python "/proc/$AOT_PID/cmdline" 2>/dev/null; then
+    echo "stale AOT pid $AOT_PID (not python); proceeding" >> "$LOG/summary.txt"
+    break
+  fi
+  if [ "$WAITED" -ge 10800 ]; then
+    echo "AOT wait exceeded 3h; proceeding anyway" >> "$LOG/summary.txt"
+    break
+  fi
+  echo "waiting for local AOT ($AOT_PID) $(date +%H:%M:%S)" >> "$LOG/summary.txt"
+  sleep 120; WAITED=$((WAITED + 120))
 done
 
 run() {
