@@ -196,6 +196,148 @@ class SurrogateEngine:
         return out
 
 
+    # ------------------------------------------------------------------
+    # AOT serving artifact (jax.export / StableHLO)
+    # ------------------------------------------------------------------
+    _NPSX_MAGIC = b"NPSX0001"
+
+    def export_rollout(self, path, n_steps, example_u0, cond=None,
+                       spatial_cond=None, platforms=("cpu", "tpu"),
+                       batch_poly=True):
+        """AOT-export the jitted ``n_steps`` rollout as a self-contained
+        StableHLO artifact (``jax.export``): parameters and the position
+        grid are baked in as constants, so the file serves WITHOUT the
+        model code, config system, or checkpoint — deserialize and call.
+
+        The artifact is multi-platform (default cpu+tpu: lowering is
+        platform-parametric, no TPU needed at export time) and, with
+        ``batch_poly=True``, batch-size polymorphic via a symbolic leading
+        dimension. Reload with :func:`load_exported`.
+
+        The reference has no serving story at all (checkpoints are consumed
+        by external notebooks, ``src/train.py:22``); this is the TPU-native
+        production counterpart: one immutable artifact per deployed model,
+        versioned by jax.export's calling convention.
+        """
+        import json
+
+        from jax import export as jex
+
+        assert self.params is not None, "load() or init_params() first"
+        if self._is_gnn():
+            raise NotImplementedError(
+                "export_rollout supports grid models; the GNN rollout "
+                "closes over a batch-size-specialized static graph")
+        u0 = jnp.asarray(np.asarray(example_u0, np.float32))
+        cond = _maybe(cond)
+        spatial_cond = _maybe(spatial_cond)
+        params = self.params
+        pos1 = jnp.asarray(np.asarray(self.pde.x, np.float32))
+        apply = self._apply
+
+        has_cond = cond is not None
+        has_sc = spatial_cond is not None
+
+        def fn(*args):
+            u, rest = args[0], list(args[1:])
+            c = rest.pop(0) if has_cond else None
+            sc = rest.pop(0) if has_sc else None
+            pos = jnp.broadcast_to(pos1[None],
+                                   (u.shape[0],) + pos1.shape)
+
+            def body(pred, _):
+                pred = apply(params, pred, c, pos, sc)
+                return pred, pred
+
+            _, frames = jax.lax.scan(body, u, None, length=n_steps)
+            return frames  # [n_steps, b, c, tw, *sp]
+
+        if batch_poly:
+            (b,) = jex.symbolic_shape("b")
+        else:
+            b = int(u0.shape[0])
+        specs = [jax.ShapeDtypeStruct((b,) + u0.shape[1:], u0.dtype)]
+        if has_cond:
+            specs.append(jax.ShapeDtypeStruct((b,) + cond.shape[1:],
+                                              cond.dtype))
+        if has_sc:
+            specs.append(jax.ShapeDtypeStruct((b,) + spatial_cond.shape[1:],
+                                              spatial_cond.dtype))
+        exported = jex.export(jax.jit(fn), platforms=list(platforms))(*specs)
+        payload = exported.serialize()
+        header = json.dumps({
+            "n_steps": int(n_steps),
+            "time_window": int(self.tw),
+            "has_cond": has_cond,
+            "has_spatial_cond": has_sc,
+            "u0_shape": ["b" if batch_poly else int(u0.shape[0]),
+                         *map(int, u0.shape[1:])],
+            "pde_name": getattr(self.pde, "name", ""),
+            "platforms": list(platforms),
+        }).encode()
+        with open(path, "wb") as f:
+            f.write(self._NPSX_MAGIC)
+            f.write(len(header).to_bytes(8, "little"))
+            f.write(header)
+            f.write(payload)
+        return path
+
+
+class ExportedSurrogate:
+    """A deserialized serving artifact (see ``SurrogateEngine.export_rollout``).
+
+    Self-contained: params and position grid are constants inside the
+    StableHLO module; only the seed window (and the conditioning the model
+    was exported with) are inputs.
+    """
+
+    def __init__(self, exported, meta):
+        self._exported = exported
+        self.meta = meta
+        self.tw = int(meta["time_window"])
+        self.n_steps = int(meta["n_steps"])
+
+    def rollout(self, u0, cond=None, spatial_cond=None, include_init=False):
+        """[b, c, tw, *sp] seed -> [b, c, n_steps*tw(+tw), *sp] frames."""
+        u0 = jnp.asarray(np.asarray(u0, np.float32))
+        args = [u0]
+        for name, val in (("has_cond", cond),
+                          ("has_spatial_cond", spatial_cond)):
+            if self.meta[name]:
+                if val is None:
+                    raise ValueError(
+                        f"artifact was exported with {name[4:]}; pass it")
+                args.append(jnp.asarray(np.asarray(val, np.float32)))
+            elif val is not None:
+                raise ValueError(
+                    f"artifact was exported without {name[4:]}")
+        frames = np.asarray(self._exported.call(*args))
+        frames = np.moveaxis(frames, 0, 2)  # [b, c, n_steps, tw, *sp]
+        out = frames.reshape(frames.shape[:2] + (-1,) + frames.shape[4:])
+        if include_init:
+            out = np.concatenate([np.asarray(u0), out], axis=2)
+        return out
+
+
+def load_exported(path):
+    """Load a ``SurrogateEngine.export_rollout`` artifact for serving."""
+    import json
+
+    from jax import export as jex
+
+    with open(path, "rb") as f:
+        data = f.read()
+    magic = SurrogateEngine._NPSX_MAGIC
+    if data[:len(magic)] != magic:
+        raise ValueError(f"{path} is not an nps_tpu export artifact")
+    off = len(magic)
+    hlen = int.from_bytes(data[off:off + 8], "little")
+    off += 8
+    meta = json.loads(data[off:off + hlen].decode())
+    exported = jex.deserialize(data[off + hlen:])
+    return ExportedSurrogate(exported, meta)
+
+
 def _maybe(x):
     if x is None:
         return None

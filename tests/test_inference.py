@@ -129,3 +129,49 @@ def test_moe_config_engine_rollout():
     out = eng.rollout(u0, n_steps=2, cond=cond, spatial_cond=sc)
     assert out.shape == (2, 1, 10, NX1, NX2)
     assert np.isfinite(out).all()
+
+
+def test_export_rollout_artifact_roundtrip(engine, tmp_path):
+    """AOT-exported StableHLO artifact (jax.export): reload and serve
+    WITHOUT model code or params — results equal the live engine, and the
+    symbolic batch dimension serves batch sizes not seen at export."""
+    from nps_tpu.inference import load_exported
+
+    eng, u0, cond, sc = engine
+    path = str(tmp_path / "surrogate.npsx")
+    eng.export_rollout(path, n_steps=2, example_u0=u0, cond=cond,
+                       spatial_cond=sc, platforms=("cpu",))
+
+    art = load_exported(path)
+    assert art.meta["has_cond"] and art.meta["has_spatial_cond"]
+    ref = eng.rollout(u0, n_steps=2, cond=cond, spatial_cond=sc)
+    out = art.rollout(u0, cond=cond, spatial_cond=sc)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    # batch polymorphism: a batch size never seen at export
+    rng = np.random.default_rng(3)
+    u4 = (rng.random((4, 1, TW, NX1, NX2)) * 0.9).astype(np.float32)
+    c4 = rng.random((4, 2)).astype(np.float32)
+    s4 = np.zeros((4, 2, NX1, NX2), np.float32)
+    ref4 = eng.rollout(u4, n_steps=2, cond=c4, spatial_cond=s4)
+    out4 = art.rollout(u4, cond=c4, spatial_cond=s4)
+    np.testing.assert_allclose(out4, ref4, rtol=1e-5, atol=1e-6)
+
+    # include_init concat matches the engine's
+    np.testing.assert_array_equal(
+        art.rollout(u0, cond=cond, spatial_cond=sc, include_init=True)[
+            :, :, :TW], u0)
+
+    # loud argument-presence validation
+    with pytest.raises(ValueError, match="cond"):
+        art.rollout(u0, spatial_cond=sc)
+
+
+def test_export_rollout_rejects_missing_params_and_bad_magic(engine,
+                                                             tmp_path):
+    from nps_tpu.inference import load_exported
+
+    bad = tmp_path / "notanartifact.npsx"
+    bad.write_bytes(b"garbage-bytes")
+    with pytest.raises(ValueError, match="artifact"):
+        load_exported(str(bad))
