@@ -203,7 +203,7 @@ class SurrogateEngine:
 
     def export_rollout(self, path, n_steps, example_u0, cond=None,
                        spatial_cond=None, platforms=("cpu", "tpu"),
-                       batch_poly=True):
+                       batch_poly=True, disable_platform_check=False):
         """AOT-export the jitted ``n_steps`` rollout as a self-contained
         StableHLO artifact (``jax.export``): parameters and the position
         grid are baked in as constants, so the file serves WITHOUT the
@@ -263,7 +263,10 @@ class SurrogateEngine:
         if has_sc:
             specs.append(jax.ShapeDtypeStruct((b,) + spatial_cond.shape[1:],
                                               spatial_cond.dtype))
-        exported = jex.export(jax.jit(fn), platforms=list(platforms))(*specs)
+        disabled = ((jex.DisabledSafetyCheck.platform(),)
+                    if disable_platform_check else ())
+        exported = jex.export(jax.jit(fn), platforms=list(platforms),
+                              disabled_checks=disabled)(*specs)
         payload = exported.serialize()
         header = json.dumps({
             "n_steps": int(n_steps),

@@ -55,6 +55,7 @@ run gn_micro   2400 python tools/bench_gn_stats.py
 run ns512_tp   3600 python tools/bench_ns512_layouts.py dp4_tp2_b16
 run ns512_b2   3600 python tools/bench_ns512.py --batches=2
 run depth1_mxu 3600 env NPS_GN_STATS=mxu python tools/bench_depth1.py
+run export_tpu 1800 python tools/check_export_tpu.py
 run bench_all  9000 python tools/bench_all.py
 run profile1   3600 python tools/profile_step.py /tmp/profile_tanh 1
 echo "QUEUE DONE $(date +%H:%M:%S)" | tee -a "$LOG/summary.txt"
