@@ -20,6 +20,7 @@ import sys
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 import flax.serialization
 
 import nps_tpu.models as models
@@ -37,8 +38,69 @@ class SurrogateEngine:
         self.pde = pde
         self.tw = time_window
         self.neighbors = neighbors  # GNN edge rule (trainer.neighbors)
+        self.mesh = None
         self._rollout_cache = {}
         self._graph_cache = {}
+
+    # ------------------------------------------------------------------
+    def shard(self, spatial_parallel=0, devices=None):
+        """Distribute serving over the local device mesh.
+
+        ``spatial_parallel=0`` → 1-D ("data",) mesh: rollout batches shard
+        on their leading axis, params replicate, XLA partitions the jitted
+        scan SPMD (pure throughput scaling). ``spatial_parallel=K`` → 2-D
+        ("data", "x") grid mesh: the first spatial dim additionally shards
+        over "x" and GSPMD inserts the halo exchanges / spectral psums —
+        the serving path for fields too large for one chip (the 512²-class
+        configs). Mirrors the trainer's mesh regimes
+        (``nps_tpu/parallel/mesh.py``); equality with single-device serving
+        is pinned by ``tests/test_inference.py``.
+        """
+        if self._is_gnn():
+            raise NotImplementedError(
+                "mesh serving supports grid models; the GNN graph is "
+                "batch-size-specialized")
+        from nps_tpu.parallel.mesh import (make_grid_mesh, make_mesh,
+                                           replicate)
+
+        if spatial_parallel and spatial_parallel > 1:
+            self.mesh = make_grid_mesh(spatial_parallel, devices)
+        else:
+            self.mesh = make_mesh(devices)
+        if self.params is not None:
+            self.params = replicate(self.params, self.mesh)
+        self._rollout_cache.clear()
+        return self
+
+    def _place_inputs(self, u, cond, pos, spatial_cond):
+        """Commit serving inputs with the mesh sharding; jit then runs the
+        rollout SPMD from the input placements (GSPMD propagation — same
+        mechanism the trainer uses)."""
+        from jax.sharding import NamedSharding
+
+        mesh = self.mesh
+        n_data = int(dict(mesh.shape)["data"])
+        if int(u.shape[0]) % n_data != 0:
+            raise ValueError(
+                f"serving batch {u.shape[0]} must divide the mesh's data "
+                f"extent {n_data} (pad the batch or reshape the mesh)")
+        has_x = "x" in dict(mesh.shape)
+
+        def put(a, spec):
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
+        u = put(u, P("data", None, None, "x")
+                if has_x and u.ndim == 5 else P("data"))
+        pos = put(pos, P("data", "x") if has_x and pos.ndim == 4
+                  else P("data"))
+        if cond is not None:
+            cond = put(cond, P("data"))
+        if spatial_cond is not None:
+            spatial_cond = put(spatial_cond,
+                               P("data", None, "x")
+                               if has_x and spatial_cond.ndim == 4
+                               else P("data"))
+        return u, cond, pos, spatial_cond
 
     def _is_gnn(self):
         from nps_tpu.common.interfaces import M
@@ -125,6 +187,10 @@ class SurrogateEngine:
             jax.random.PRNGKey(seed), u_in,
             cond=_maybe(cond), bc=None, pos=pos, t_cond=None,
             spatial_cond=_maybe(spatial_cond))
+        if self.mesh is not None:
+            from nps_tpu.parallel.mesh import replicate
+
+            self.params = replicate(self.params, self.mesh)
         return self.params
 
     def load(self, path):
@@ -137,6 +203,10 @@ class SurrogateEngine:
             with open(path, "rb") as f:
                 data = f.read()
             self.params = flax.serialization.msgpack_restore(data)
+        if self.mesh is not None:
+            from nps_tpu.parallel.mesh import replicate
+
+            self.params = replicate(self.params, self.mesh)
         return self
 
     # ------------------------------------------------------------------
@@ -171,8 +241,12 @@ class SurrogateEngine:
         pos = self._pos(u.shape[0])
         if self._is_gnn():
             self._ensure_graph(u.shape[0])
+        cond, spatial_cond = _maybe(cond), _maybe(spatial_cond)
+        if self.mesh is not None:
+            u, cond, pos, spatial_cond = self._place_inputs(
+                u, cond, pos, spatial_cond)
         fn = self._get_rollout_fn(1, (u.shape, u.dtype.name))
-        frames = fn(self.params, u, _maybe(cond), pos, _maybe(spatial_cond))
+        frames = fn(self.params, u, cond, pos, spatial_cond)
         return np.asarray(frames[0])
 
     def rollout(self, u0, n_steps, cond=None, spatial_cond=None,
@@ -186,8 +260,12 @@ class SurrogateEngine:
         pos = self._pos(u0.shape[0])
         if self._is_gnn():
             self._ensure_graph(u0.shape[0])
+        cond, spatial_cond = _maybe(cond), _maybe(spatial_cond)
+        if self.mesh is not None:
+            u0, cond, pos, spatial_cond = self._place_inputs(
+                u0, cond, pos, spatial_cond)
         fn = self._get_rollout_fn(n_steps, (u0.shape, u0.dtype.name))
-        frames = fn(self.params, u0, _maybe(cond), pos, _maybe(spatial_cond))
+        frames = fn(self.params, u0, cond, pos, spatial_cond)
         frames = np.asarray(frames)  # [n_steps, b, c, tw, *sp]
         frames = np.moveaxis(frames, 0, 2)
         out = frames.reshape(frames.shape[:2] + (-1,) + frames.shape[4:])

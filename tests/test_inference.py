@@ -175,3 +175,38 @@ def test_export_rollout_rejects_missing_params_and_bad_magic(engine,
     bad.write_bytes(b"garbage-bytes")
     with pytest.raises(ValueError, match="artifact"):
         load_exported(str(bad))
+
+
+def test_mesh_serving_matches_single_device(engine):
+    """engine.shard(): DP and DP x spatial serving equal the single-device
+    rollout (GSPMD from input placements, the trainer's mechanism)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    eng, u0, cond, sc = engine
+    # batch 8 so both the (8,) data mesh and the (4, 2) grid mesh divide it
+    rng = np.random.default_rng(11)
+    u8 = (rng.random((8, 1, TW, NX1, NX2)) * 0.9).astype(np.float32)
+    c8 = rng.random((8, 2)).astype(np.float32)
+    s8 = np.zeros((8, 2, NX1, NX2), np.float32)
+    ref = eng.rollout(u8, n_steps=2, cond=c8, spatial_cond=s8)
+
+    try:
+        eng.shard(devices=jax.devices()[:8])
+        out_dp = eng.rollout(u8, n_steps=2, cond=c8, spatial_cond=s8)
+        np.testing.assert_allclose(out_dp, ref, rtol=1e-5, atol=1e-6)
+
+        eng.shard(spatial_parallel=2, devices=jax.devices()[:8])
+        out_sp = eng.rollout(u8, n_steps=2, cond=c8, spatial_cond=s8)
+        # halo/psum reassociation noise on a random-init DRN whose outputs
+        # span ±5e3: bound the error relative to the field scale (measured
+        # max ~7e-5 of scale), not elementwise near zero-crossings
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(out_sp, ref, rtol=2e-4,
+                                   atol=2e-4 * scale)
+
+        with pytest.raises(ValueError, match="batch"):
+            eng.rollout(u8[:3], n_steps=1, cond=c8[:3], spatial_cond=s8[:3])
+    finally:
+        eng.mesh = None
+        eng._rollout_cache.clear()
+        eng.params = jax.device_get(eng.params)
