@@ -7,9 +7,11 @@
 #   1. gn_micro      — tools/bench_gn_stats.py (MXU vs reduce GN stats)
 #   2. ns512_b2      — tools/bench_ns512.py --batches=2 (GELUTanh re-rate,
 #                      the number BASELINE.md's ns512 section points at)
-#   3. depth1_mxu    — headline step with NPS_GN_STATS=mxu (full-step A/B
-#                      against the cached 34.72 samples/s reduce baseline)
-#   4. bench_all     — all five families with the shipped GELUTanh
+#   3. bench_all     — all five families with the shipped GELUTanh
+#
+# depth1_mxu (full-step NPS_GN_STATS=mxu A/B) was dropped: the gn_micro
+# verdict settled mxu as a loser (fwd+bwd 31.1 vs 3.2 ms/pass on chip),
+# so the full-step run would burn ~1h of chip for no information.
 #
 # Logs land in /tmp/chip_queue/<name>.log; a PASS/FAIL summary is appended
 # to /tmp/chip_queue/summary.txt after each job.
@@ -51,10 +53,10 @@ run() {
 
 run gn_micro   2400 python tools/bench_gn_stats.py
 # TP layout memory re-check: the original analysis replicated the Adam
-# state (fixed — the real TP trainer shards it); dp4_tp2_b16 may now fit
-run ns512_tp   3600 python tools/bench_ns512_layouts.py dp4_tp2_b16
+# state (fixed — the real TP trainer shards it); dp4_tp2_b16 may now fit.
+# Local AOT compile — needs >1h on a 1-vCPU host (timed out at 3600 once).
+run ns512_tp   9000 python tools/bench_ns512_layouts.py dp4_tp2_b16
 run ns512_b2   3600 python tools/bench_ns512.py --batches=2
-run depth1_mxu 3600 env NPS_GN_STATS=mxu python tools/bench_depth1.py
 run export_tpu 1800 python tools/check_export_tpu.py
 run bench_all  9000 python tools/bench_all.py
 run profile1   3600 python tools/profile_step.py /tmp/profile_tanh 1
