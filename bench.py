@@ -175,13 +175,45 @@ def bench_rollout(trainer, device_batch, reps=3):
     return n_steps / dt
 
 
+def _emit_error_and_exit(reason, code):
+    """One JSON error line carrying the last good on-chip measurement
+    (clearly dated via its ``measured_at``), then hard-exit."""
+    import os
+
+    err = {
+        "metric": "ufno_train_samples_per_sec_per_chip_128x128",
+        "value": None, "unit": "samples/s", "vs_baseline": None,
+        "error": reason}
+    try:
+        with open(_LAST_RESULT_PATH) as f:
+            err["last_measured"] = json.load(f)
+    except (OSError, ValueError):
+        pass
+    print(json.dumps(err), flush=True)
+    os._exit(code)
+
+
+def _install_sigterm_reporter():
+    """`timeout N python bench.py` SIGTERMs the process; without a handler
+    the run dies silently mid-compile and the driver records nothing.
+    Convert the kill into the same error-JSON line the tunnel watchdog
+    emits so a bounded run always yields one parseable result line."""
+    import signal
+
+    def handler(signum, frame):
+        _emit_error_and_exit(
+            f"killed by signal {signum} before completion "
+            f"(driver timeout? cold compile cache?)", 3)
+
+    signal.signal(signal.SIGTERM, handler)
+
+
 def _device_watchdog(timeout_s=480):
     """Fail fast instead of hanging forever when the TPU tunnel is dead:
     ``jax.devices()`` on the axon platform blocks in C if the remote chip
     is unreachable, which would wedge an unattended bench run. A daemon
     thread arms a deadline; once devices resolve the main thread disarms
     it. On expiry: one JSON error line, exit 2."""
-    import os
     import threading
 
     armed = threading.Event()
@@ -190,24 +222,15 @@ def _device_watchdog(timeout_s=480):
     def watch():
         time.sleep(timeout_s)
         if armed.is_set():
-            err = {
-                "metric": "ufno_train_samples_per_sec_per_chip_128x128",
-                "value": None, "unit": "samples/s", "vs_baseline": None,
-                "error": f"no TPU device within {timeout_s}s "
-                         f"(tunnel down?)"}
-            try:  # attach the last good on-chip measurement, clearly dated
-                with open(_LAST_RESULT_PATH) as f:
-                    err["last_measured"] = json.load(f)
-            except (OSError, ValueError):
-                pass
-            print(json.dumps(err), flush=True)
-            os._exit(2)
+            _emit_error_and_exit(
+                f"no TPU device within {timeout_s}s (tunnel down?)", 2)
 
     threading.Thread(target=watch, daemon=True).start()
     return armed
 
 
 def main():
+    _install_sigterm_reporter()
     watchdog = _device_watchdog()
     import jax
 
