@@ -6,12 +6,22 @@ process_step/BC handling, scan-based pushforward, donated state) — on the
 cfg_twophase_ufno model (192 features, 3 U-FNO blocks, 10 modes) at 128x128
 with the reference batch size (16), at pushforward depths 0, 1 and 8.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
-is the depth-1 throughput (one no-grad model step + one grad step + Adam
-update, the mid-ramp production regime). The "extra" field carries the
-depth-0/8 numbers and a FLOPs-derived MFU (XLA cost analysis / v5e bf16
-peak 197 TFLOP/s; depth>1 FLOPs corrected for cost analysis counting the
-pushforward scan body once — f(0) + d*(f(1) - f(0))).
+Result protocol (headline-first — round 3's driver timeout produced a null
+record because everything printed at the end): the depth-1 headline is
+measured FIRST and a complete result JSON line is printed the moment it
+exists; each extra (depth 0, depth 8, rollout, ramp-weighted estimate) then
+re-prints the enriched line. Every printed line is a complete, valid
+result, so a consumer taking the LAST parseable stdout line always gets the
+freshest real measurement no matter where a timeout lands. Extras only
+start while a wall-clock budget allows (``NPS_BENCH_BUDGET_S``, default
+900 s); when the guard trips, the final line carries
+``extra.truncated="budget"``.
+
+The headline value is the depth-1 throughput (one no-grad model step + one
+grad step + Adam update, the mid-ramp production regime). The "extra" field
+carries the depth-0/8 numbers and a FLOPs-derived MFU (XLA cost analysis /
+v5e bf16 peak 197 TFLOP/s; depth>1 FLOPs corrected for cost analysis
+counting the pushforward scan body once — f(0) + d*(f(1) - f(0))).
 
 vs_baseline: ratio to the PyTorch reference running the same step on this
 host's CPU (the only reference hardware available here; measured by
@@ -19,9 +29,12 @@ tools/bench_reference_torch.py and recorded in BASELINE.md).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_START = time.monotonic()
 
 # torch reference, same step/shape, this host's CPU (1 vCPU; measured by
 # tools/bench_reference_torch.py on 2026-08-16, see BASELINE.md)
@@ -175,6 +188,33 @@ def bench_rollout(trainer, device_batch, reps=3):
     return n_steps / dt
 
 
+_SNAPSHOT = None  # last complete result measured THIS run (headline-first)
+
+
+def _budget_remaining():
+    """Wall-clock budget left for optional extras (seconds)."""
+    import os
+
+    budget = float(os.environ.get("NPS_BENCH_BUDGET_S", "900"))
+    return budget - (time.monotonic() - _START)
+
+
+def _publish(result):
+    """Print a complete result line NOW and persist it as the last-good
+    measurement. Called after the headline and again after each extra, so
+    the last stdout line is always the freshest real number."""
+    global _SNAPSHOT
+    _SNAPSHOT = result
+    print(json.dumps(result), flush=True)
+    if _os.environ.get("NPS_BENCH_TINY"):  # hermetic test shapes: don't
+        return                             # clobber the real last-good cache
+    try:
+        with open(_LAST_RESULT_PATH, "w") as f:
+            json.dump({**result, "measured_at": time.strftime("%F %T")}, f)
+    except OSError:
+        pass
+
+
 def _emit_error_and_exit(reason, code):
     """One JSON error line carrying the last good on-chip measurement
     (clearly dated via its ``measured_at``), then hard-exit."""
@@ -196,16 +236,37 @@ def _emit_error_and_exit(reason, code):
 def _install_sigterm_reporter():
     """`timeout N python bench.py` SIGTERMs the process; without a handler
     the run dies silently mid-compile and the driver records nothing.
-    Convert the kill into the same error-JSON line the tunnel watchdog
-    emits so a bounded run always yields one parseable result line."""
+
+    A ``signal.signal`` handler only runs when the main thread executes
+    Python bytecode — blocked in a C call (XLA compile, a hung remote
+    ``jax.devices()``) it is deferred indefinitely. So: block SIGTERM in
+    the main thread and run a daemon thread in ``signal.sigwait``, which
+    consumes the signal regardless of what the main thread is doing. The
+    thread prints the headline snapshot if one was measured this run
+    (exit 0 — the number is real, only extras were truncated), else the
+    error line (exit 3)."""
+    import os
     import signal
+    import threading
 
-    def handler(signum, frame):
+    signal.pthread_sigmask(signal.SIG_BLOCK, {signal.SIGTERM})
+
+    def wait_and_report():
+        signal.sigwait({signal.SIGTERM})
+        if _SNAPSHOT is not None:
+            snap = dict(_SNAPSHOT)
+            snap.setdefault("extra", {})
+            snap["extra"] = {**snap["extra"], "truncated": "sigterm"}
+            print(json.dumps(snap), flush=True)
+            os._exit(0)
         _emit_error_and_exit(
-            f"killed by signal {signum} before completion "
-            f"(driver timeout? cold compile cache?)", 3)
+            "killed by signal 15 before completion "
+            "(driver timeout? cold compile cache?)", 3)
 
-    signal.signal(signal.SIGTERM, handler)
+    threading.Thread(target=wait_and_report, daemon=True).start()
+    # readiness line for tests/test_bench.py (gates the SIGTERM send on
+    # the reporter actually being armed instead of a wall-clock sleep)
+    print("bench-reporter-armed", file=sys.stderr, flush=True)
 
 
 def _device_watchdog(timeout_s=480):
@@ -229,22 +290,57 @@ def _device_watchdog(timeout_s=480):
     return armed
 
 
+def _result(sps1, extra):
+    vs = (sps1 / REFERENCE_SAMPLES_PER_SEC
+          if REFERENCE_SAMPLES_PER_SEC else None)
+    return {
+        "metric": "ufno_train_samples_per_sec_per_chip_128x128",
+        "value": round(sps1, 3),
+        "unit": "samples/s",
+        "vs_baseline": round(vs, 3) if vs else None,
+        "extra": dict(extra),
+    }
+
+
 def main():
+    import os
+
     _install_sigterm_reporter()
     watchdog = _device_watchdog()
     import jax
 
+    from nps_tpu.utils.compile_cache import enable_compile_cache
+
+    # persistent executable cache: a driver re-run of the identical program
+    # (the round-3 failure mode was cold compiles through the axon tunnel)
+    # loads instead of recompiling
+    enable_compile_cache()
+
     jax.devices()  # blocks here if the tunnel is dead
     watchdog.clear()
 
-    trainer, device_batch = build_trainer()
+    # hermetic-test / smoke shape overrides (production defaults otherwise)
+    nx = int(os.environ.get("NPS_BENCH_NX", NX))
+    tw = int(os.environ.get("NPS_BENCH_TW", TW))
+    batch = int(os.environ.get("NPS_BENCH_BATCH", BATCH))
+    n_steps = int(os.environ.get("NPS_BENCH_STEPS", 20))
+    t_res = tw * (MAX_UNROLL + 2) + 1
+    model_kwargs = None
+    if os.environ.get("NPS_BENCH_TINY"):  # contract tests: small DRN
+        model_kwargs = dict(processor="DilatedResnet", hidden_blocks=1,
+                            hidden_features=8, kernel_size=3,
+                            padding_mode="circular")
+    trainer, device_batch = build_trainer(nx=nx, tw=tw, batch=batch,
+                                          t_res=t_res,
+                                          model_kwargs=model_kwargs)
 
     extra = {}
-    sps1 = None
     flops_by_depth = {}
-    for depth in (0, 1, MAX_UNROLL):
+
+    def measure_depth(depth):
         sps, flops, dt = bench_depth(trainer, device_batch, depth,
-                                     n_steps=20 if depth < 8 else 8)
+                                     n_steps=n_steps if depth < 8
+                                     else max(n_steps // 2, 2))
         # XLA cost analysis counts the no-grad pushforward `lax.scan` body
         # ONCE regardless of trip count; correct depth-d FLOPs to
         # f(0) + d * f_fwd where f_fwd = f(1) - f(0) (one scan apply)
@@ -257,12 +353,34 @@ def main():
         extra[f"depth{depth}_samples_per_sec"] = round(sps, 3)
         if mfu:
             extra[f"depth{depth}_mfu"] = round(mfu, 4)
-        if depth == 1:
-            sps1 = sps
+        return sps
 
-    rps = bench_rollout(trainer, device_batch)
-    extra["rollout_bundled_steps_per_sec"] = round(rps, 3)
-    extra["rollout_frames_per_sec"] = round(rps * TW * BATCH, 1)
+    # ---- the headline FIRST: from this moment a real result is printed
+    # and every later stage only enriches it ----
+    stage_t0 = time.monotonic()
+    sps1 = measure_depth(1)
+    headline_wall = time.monotonic() - stage_t0
+    _publish(_result(sps1, extra))
+
+    # ---- extras, each gated on the remaining wall-clock budget (a stage
+    # costs roughly one compile + one timed loop ≈ the headline stage) ----
+    def budget_ok(factor=1.0):
+        if _budget_remaining() > factor * max(headline_wall, 30.0):
+            return True
+        extra["truncated"] = "budget"
+        return False
+
+    if budget_ok():
+        measure_depth(0)
+        _publish(_result(sps1, extra))
+    if budget_ok(1.5):  # depth-8 step is ~3x slower, compile similar
+        measure_depth(MAX_UNROLL)
+        _publish(_result(sps1, extra))
+    if budget_ok():
+        rps = bench_rollout(trainer, device_batch)
+        extra["rollout_bundled_steps_per_sec"] = round(rps, 3)
+        extra["rollout_frames_per_sec"] = round(rps * tw * batch, 1)
+        _publish(_result(sps1, extra))
 
     # ---- ramp-weighted time-to-train estimate (the number a user feels) --
     # The production run is 500 epochs with the pushforward ramp
@@ -273,36 +391,24 @@ def main():
     # by the depth-8 measurement (pred within 1%). Expected per-epoch step
     # time at ramp level m is t0 + (t1-t0)*m/2; summing the schedule:
     # 25 epochs at each m=0..7, the rest at m=8.
-    t0 = BATCH / extra["depth0_samples_per_sec"]
-    t1 = BATCH / extra["depth1_samples_per_sec"]
-    delta = t1 - t0
-    n_epochs, ramp_int, max_u = 500, 25, MAX_UNROLL
-    total = 0.0
-    for m in range(max_u):
-        total += ramp_int * (t0 + delta * m / 2)
-    total += (n_epochs - ramp_int * max_u) * (t0 + delta * max_u / 2)
-    ramp_sps = n_epochs * BATCH / total
-    extra["ramp_weighted_samples_per_sec"] = round(ramp_sps, 3)
-    # wall-clock for the full 500-epoch schedule per 1000 training samples
-    # (multiply by dataset_size/1000 for a concrete dataset)
-    extra["est_500epoch_hours_per_1k_samples"] = round(
-        n_epochs * 1000 / ramp_sps / 3600, 3)
+    if "depth0_samples_per_sec" in extra:
+        t0 = batch / extra["depth0_samples_per_sec"]
+        t1 = batch / extra["depth1_samples_per_sec"]
+        delta = t1 - t0
+        n_epochs, ramp_int, max_u = 500, 25, MAX_UNROLL
+        total = 0.0
+        for m in range(max_u):
+            total += ramp_int * (t0 + delta * m / 2)
+        total += (n_epochs - ramp_int * max_u) * (t0 + delta * max_u / 2)
+        ramp_sps = n_epochs * batch / total
+        extra["ramp_weighted_samples_per_sec"] = round(ramp_sps, 3)
+        # wall-clock for the full 500-epoch schedule per 1000 training
+        # samples (multiply by dataset_size/1000 for a concrete dataset)
+        extra["est_500epoch_hours_per_1k_samples"] = round(
+            n_epochs * 1000 / ramp_sps / 3600, 3)
 
-    vs = (sps1 / REFERENCE_SAMPLES_PER_SEC
-          if REFERENCE_SAMPLES_PER_SEC else None)
-    result = {
-        "metric": "ufno_train_samples_per_sec_per_chip_128x128",
-        "value": round(sps1, 3),
-        "unit": "samples/s",
-        "vs_baseline": round(vs, 3) if vs else None,
-        "extra": extra,
-    }
-    print(json.dumps(result))
-    try:  # cache for the tunnel-down error path (_device_watchdog)
-        with open(_LAST_RESULT_PATH, "w") as f:
-            json.dump({**result, "measured_at": time.strftime("%F %T")}, f)
-    except OSError:
-        pass
+    # final line: includes any truncation marker set by the budget guard
+    _publish(_result(sps1, extra))
 
 
 if __name__ == "__main__":
