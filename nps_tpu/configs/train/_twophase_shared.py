@@ -64,6 +64,9 @@ def make_trainer(base_args):
         expert_parallel=0,
         zero1=False,
         grad_accum=0,  # >1 -> optax.MultiSteps gradient accumulation
+        # cheaper numerics inside the no-grad pushforward scan body only
+        # (bf16 GN statistics, tanh GELU); see models/config.py
+        pushforward_fast=False,
         device_cache=False,
         matmul_precision=None,
         compute_dtype=None,

@@ -52,6 +52,13 @@ class GELU(_Activation):
     """
 
     def __call__(self, x):
+        from nps_tpu.models import config as model_config
+
+        # the no-grad pushforward body opts into the tanh approximation
+        # (rounding-level difference at bf16; its output is only the next
+        # window's input — see models.config.fast_forward_active)
+        if model_config.fast_forward_active():
+            return jax.nn.gelu(x, approximate=True)
         return jax.nn.gelu(x, approximate=False)
 
 

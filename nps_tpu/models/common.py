@@ -101,7 +101,14 @@ class GroupNormFast(nn.Module):
                 mean = (s1 / n_el).reshape(stat_shape)
                 mean2 = (s2 / n_el).reshape(stat_shape)
             else:
-                xf = xg.astype(jnp.float32)  # fuses into the reductions
+                if (model_config.fast_forward_active()
+                        and xg.dtype == jnp.bfloat16):
+                    # no-grad pushforward body: bf16 statistics (XLA's tree
+                    # reduce; the output only seeds the next train window —
+                    # see models.config.fast_forward_active)
+                    xf = xg
+                else:
+                    xf = xg.astype(jnp.float32)  # fuses into the reductions
                 mean = jnp.mean(xf, axis=red_axes, keepdims=True)
                 mean2 = jnp.mean(jnp.square(xf), axis=red_axes,
                                  keepdims=True)

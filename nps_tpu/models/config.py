@@ -58,6 +58,39 @@ def gn_stats_impl():
     return _GN_STATS_IMPL
 
 
+_FAST_FORWARD = False
+
+
+def fast_forward_active():
+    """Trace-time flag: the current model apply is a no-grad pushforward
+    forward whose output only becomes the *input* of the next train window
+    (never a gradient path), so modules may opt into cheaper numerics —
+    bf16 GroupNorm statistics, tanh-approximate GELU. The pushforward trick
+    trains on model-perturbed inputs by design, so stat-precision noise
+    here is within the method's own noise injection
+    (``trainers/autoregressivepushforwardtrainer.py:115-144``)."""
+    return _FAST_FORWARD
+
+
+class fast_forward_scope:
+    """Enable ``fast_forward_active`` while tracing a region (the no-grad
+    pushforward ``lax.scan`` body). Trace-time only, like compute_dtype."""
+
+    def __init__(self, enabled=True):
+        self.enabled = bool(enabled)
+
+    def __enter__(self):
+        global _FAST_FORWARD
+        self.prev = _FAST_FORWARD
+        _FAST_FORWARD = self.enabled
+        return self
+
+    def __exit__(self, *a):
+        global _FAST_FORWARD
+        _FAST_FORWARD = self.prev
+        return False
+
+
 def cast_compute(x):
     """Cast an activation tensor to the configured compute dtype."""
     dt = _COMPUTE_DTYPE

@@ -235,10 +235,19 @@ class AutoregressivePushforwardTrainer(TrainInterface):
             # Runs OUTSIDE value_and_grad (params closed over) so autodiff
             # never traces it: no residual saving, no (DCE'd) backward scan
             # — the reference's torch.no_grad(), structurally.
+            # With --trainer.pushforward_fast=true the body opts into a
+            # cheaper forward (bf16 GN statistics, tanh GELU): its output
+            # is only the next window's INPUT, never a gradient path, so
+            # the tolerance is the pushforward's own noise injection.
+            fast = bool(getattr(self.config, "pushforward_fast", False))
+
             def body(carry, _):
+                from nps_tpu.models import config as model_config
+
                 data, labels, bc, steps = carry
-                pred = self._apply(params, data, cond_, bc, x,
-                                   t_window(steps), sc_)
+                with model_config.fast_forward_scope(fast):
+                    pred = self._apply(params, data, cond_, bc, x,
+                                       t_window(steps), sc_)
                 labels_prev = labels
                 steps = steps + tw
                 labels = window(u_super, steps, tw, "labels")
