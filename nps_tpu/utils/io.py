@@ -1,11 +1,10 @@
 """Host-side IO helpers: yaml sidecars and numpy memmaps.
 
-Parity: ``src/utils/load_yaml.py`` and ``src/utils/load_memmap.py``. The
-reference additionally supports mmap_ninja RaggedMmap for variable-length 1D
-data; that format is gated here (ragged storage for ``D.sim1d_var_t`` uses a
-plain npz-of-objects fallback since mmap_ninja is not a dependency of this
-build).
-"""
+Parity: ``src/utils/load_yaml.py`` and ``src/utils/load_memmap.py``.
+Ragged (variable-length) stores auto-detect the on-disk layout: this
+build's ``RaggedMemmap`` directories or reference-produced mmap_ninja
+``RaggedMmap`` directories (read with plain numpy, no dependency —
+``nps_tpu/data/ragged.py``)."""
 
 import os
 
@@ -29,7 +28,7 @@ def load_memmap(data_format, data_dir, load_name):
         return np.lib.format.open_memmap(
             os.path.join(data_dir, load_name + ".npy"), mode="r")
     if data_format == "raggedmemmap":
-        from nps_tpu.data.ragged import RaggedMemmap
+        from nps_tpu.data.ragged import open_ragged
 
-        return RaggedMemmap(os.path.join(data_dir, load_name))
+        return open_ragged(os.path.join(data_dir, load_name))
     raise ValueError(f"data format {data_format} not supported")
