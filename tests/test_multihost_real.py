@@ -1,0 +1,132 @@
+"""REAL multi-process execution of the shipped trainer (VERDICT r3 #4).
+
+Two actual JAX processes (CPU backend, 4 virtual devices each, Gloo
+collectives via ``jax.distributed.initialize``) run
+``TrainInterface.train()`` with ``data_parallel=True``:
+
+1. both processes compute identical global losses; checkpoints / exports /
+   metrics are written by process 0 ONLY (``_is_writer_process`` +
+   ``_host_fetch``'s fleet-wide allgather execute with process_count=2);
+2. SIGTERM delivered to ONE process makes BOTH checkpoint-and-exit
+   (``_preempt_fleet_agreed``'s allgather at the batch boundary is the
+   fleet stop decision — a bug there is a production hang).
+"""
+
+import json
+import os
+import signal
+import socket
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    from nps_tpu.data.synthetic import generate
+
+    d = tmp_path_factory.mktemp("mhds")
+    # splits 64/8/8: every split batch-divisible by the 8-device mesh
+    generate(str(d / "twophase"), n_sims=80, n_channels=2, nt=21, nx1=16,
+             nx2=16, seed=13)
+    return str(d)
+
+
+def _spawn(pid, port, dataset_dir, out, epochs, test_interval):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen(
+        [sys.executable, os.path.join(repo, "tests", "mh_worker.py"),
+         "--pid", str(pid), "--port", str(port), "--data", dataset_dir,
+         "--out", out, "--epochs", str(epochs),
+         "--test-interval", str(test_interval)],
+        cwd=repo, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+
+
+def _result_line(out_bytes):
+    for line in out_bytes.decode().splitlines():
+        if line.startswith("MH_RESULT "):
+            return json.loads(line[len("MH_RESULT "):])
+    raise AssertionError(
+        "worker printed no MH_RESULT line; output tail:\n"
+        + "\n".join(out_bytes.decode().splitlines()[-25:]))
+
+
+def test_two_process_training_losses_equal_and_writer_guard(dataset_dir,
+                                                            tmp_path):
+    port = _free_port()
+    out = str(tmp_path)
+    procs = [_spawn(i, port, dataset_dir, out, epochs=2, test_interval=2)
+             for i in range(2)]
+    try:
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+    finally:
+        for p in procs:
+            p.kill()
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode()[-2000:]
+    res = [_result_line(o) for o in outs]
+    assert all(r["n_processes"] == 2 for r in res)
+    assert all(r["n_global_devices"] == 8 for r in res)
+    # the jitted DP step returns the GLOBAL loss on every process
+    np.testing.assert_allclose(res[0]["train_losses"],
+                               res[1]["train_losses"], rtol=1e-6)
+    assert all(np.isfinite(res[0]["train_losses"]))
+    assert not res[0]["preempted"] and not res[1]["preempted"]
+    # writer guard: process 0's save dir has artifacts, process 1's none
+    p0_files = os.listdir(os.path.join(out, "p0"))
+    assert any(f.endswith(".msgpack") for f in p0_files), p0_files
+    assert any("metrics.jsonl" in f for f in p0_files), p0_files
+    p1 = os.path.join(out, "p1")
+    assert not os.path.exists(p1) or not os.listdir(p1)
+
+
+def test_sigterm_to_one_process_stops_the_fleet(dataset_dir, tmp_path):
+    port = _free_port()
+    out = str(tmp_path)
+    procs = [_spawn(i, port, dataset_dir, out, epochs=200, test_interval=999)
+             for i in range(2)]
+    metrics = os.path.join(out, "p0", "run_metrics.jsonl")
+    try:
+        # wait for real training progress (>= 2 completed epochs)
+        deadline = time.monotonic() + 600
+        while time.monotonic() < deadline:
+            if os.path.exists(metrics) and \
+                    sum(1 for _ in open(metrics)) >= 2:
+                break
+            if any(p.poll() is not None for p in procs):
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("fleet never reached epoch 2")
+        # signal ONLY the NON-writer process; the stop must propagate to
+        # process 0 through the batch-boundary allgather
+        procs[1].send_signal(signal.SIGTERM)
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+    finally:
+        for p in procs:
+            p.kill()
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode()[-2000:]
+    res = [_result_line(o) for o in outs]
+    assert res[0]["preempted"] and res[1]["preempted"], res
+    # checkpoint written by the writer process only
+    p0_files = os.listdir(os.path.join(out, "p0"))
+    assert any(f.endswith("_checkpoint.pkl") for f in p0_files), p0_files
+    p1 = os.path.join(out, "p1")
+    assert not os.path.exists(p1) or not any(
+        f.endswith("_checkpoint.pkl") for f in os.listdir(p1))
