@@ -72,6 +72,8 @@ def make_trainer(base_args):
         compute_dtype=None,
         resume=False,
         checkpoint_interval=None,  # None -> test_interval
+        # multi-host bring-up: "" off, "auto" (TPU pod), "host:port,N,i"
+        distributed="",
         eval_only=False,
         load_model=None,
     )

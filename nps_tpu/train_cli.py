@@ -89,6 +89,25 @@ def main(args):
         except RuntimeError:
             pass
 
+    # multi-host bring-up (must precede any other jax use):
+    #   --trainer.distributed=auto                  TPU-pod auto-detection
+    #   --trainer.distributed=host:port,N,i         explicit coordinator
+    dist = str(args.get("trainer", {}).get("distributed", "") or "")
+    if dist and dist.lower() not in ("false", "0", "none"):
+        from nps_tpu.parallel import init_distributed
+
+        if dist.lower() in ("auto", "true", "1"):
+            init_distributed()
+        else:
+            coord, n_proc, proc_id = dist.split(",")
+            init_distributed(coordinator_address=coord,
+                             num_processes=int(n_proc),
+                             process_id=int(proc_id))
+        import jax
+
+        print(f"Distributed: process {jax.process_index()} of "
+              f"{jax.process_count()}, {len(jax.devices())} global devices")
+
     if PRINT_ARGS:
         print(util.dict_str(args, prefix="--", mapping="="))
 

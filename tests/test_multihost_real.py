@@ -95,6 +95,62 @@ def test_two_process_training_losses_equal_and_writer_guard(dataset_dir,
     assert not os.path.exists(p1) or not os.listdir(p1)
 
 
+def test_cli_distributed_flag_two_processes(dataset_dir, tmp_path):
+    """End-to-end CLI bring-up: two `python train.py` processes federated
+    by --trainer.distributed=host:port,N,i train together (the launcher
+    surface a multi-host user actually runs)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = _free_port()
+
+    def spawn(i):
+        env = dict(os.environ)
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=4"
+                            ).strip()
+        return subprocess.Popen(
+            [sys.executable, "train.py",
+             "-C", "nps_tpu/configs/train/cfg_twophase_drn.py",
+             "--base_resolution=[21,16,16]", "--super_resolution=[21,16,16]",
+             "--time_window=5", "--batch_size=8",
+             f"--dataset.base_path={dataset_dir}", "--dataset.c_filter=[0]",
+             "--model.hidden_features=8", "--model.hidden_blocks=1",
+             "--model.kernel_size=3", "--model.dec_kernel_size=3",
+             "--trainer.num_epochs=2", "--trainer.device=cpu",
+             "--trainer.unrolling=1", "--trainer.lr_step_interval=1",
+             "--trainer.test_interval=2", "--trainer.data_parallel=true",
+             f"--trainer.distributed=localhost:{port},2,{i}",
+             f"--experiment_path={tmp_path}/p{i}",
+             "--experiment_name=cli_mh"],
+            cwd=repo, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT)
+
+    procs = [spawn(i) for i in range(2)]
+    try:
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+    finally:
+        for p in procs:
+            p.kill()
+    texts = [o.decode() for o in outs]
+    for p, t in zip(procs, texts):
+        assert p.returncode == 0, t[-2000:]
+    assert "Distributed: process 0 of 2" in texts[0]
+    assert "Distributed: process 1 of 2" in texts[1]
+    losses = []
+    for t in texts:
+        line = [ln for ln in t.splitlines()
+                if ln.startswith("Train losses:")][-1]
+        losses.append(json.loads(line.split(":", 1)[1]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    # writer guard through the CLI: only process 0's dir gets artifacts
+    assert any(f.endswith(".msgpack")
+               for f in os.listdir(os.path.join(str(tmp_path), "p0")))
+    p1 = os.path.join(str(tmp_path), "p1")
+    assert not os.path.exists(p1) or not any(
+        f.endswith(".msgpack") for f in os.listdir(p1))
+
+
 def test_sigterm_to_one_process_stops_the_fleet(dataset_dir, tmp_path):
     port = _free_port()
     out = str(tmp_path)
