@@ -8,7 +8,14 @@ This measures both arms at depths 1 and 8 through the exact bench step
 (bench.build_trainer / bench.bench_depth), plus the loss trajectory
 divergence between arms over n steps from identical init (same keys).
 
-Usage: python tools/bench_pushforward_fast.py [n_steps]
+Usage: python tools/bench_pushforward_fast.py [n_steps] [arms] [depths]
+  arms:   comma list of exact,fast   (default "exact,fast")
+  depths: comma list of ints         (default "8,1" — the depth-8 regime
+          is the lever; measure it first so a timeout still captures it)
+
+A timeout mid-run leaves every completed stage printed (one line each),
+so partial runs are still evidence; re-runs hit the persistent compile
+cache for completed stages.
 """
 
 import json
@@ -23,15 +30,19 @@ from bench import bench_depth, build_trainer  # noqa: E402
 
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    arms = (sys.argv[2].split(",") if len(sys.argv) > 2
+            else ["exact", "fast"])
+    depths = ([int(d) for d in sys.argv[3].split(",")]
+              if len(sys.argv) > 3 else [8, 1])
     from nps_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
     out = {}
-    for fast in (False, True):
-        tag = "fast" if fast else "exact"
+    for tag in arms:
+        fast = tag == "fast"
         trainer, device_batch = build_trainer(
             trainer_kwargs=dict(pushforward_fast=fast))
-        for depth in (1, 8):
+        for depth in depths:
             t0 = time.monotonic()
             sps, flops, dt = bench_depth(trainer, device_batch, depth,
                                          n_steps=n_steps)
@@ -40,10 +51,11 @@ def main():
             print(f"{tag} depth {depth}: {sps:.2f} samples/s "
                   f"({dt*1e3:.1f} ms/step; stage wall "
                   f"{time.monotonic()-t0:.0f}s)", flush=True)
-    for depth in (1, 8):
-        a = out[f"exact_depth{depth}_samples_per_sec"]
-        b = out[f"fast_depth{depth}_samples_per_sec"]
-        out[f"depth{depth}_speedup"] = round(b / a, 4)
+    for depth in depths:
+        a = out.get(f"exact_depth{depth}_samples_per_sec")
+        b = out.get(f"fast_depth{depth}_samples_per_sec")
+        if a and b:
+            out[f"depth{depth}_speedup"] = round(b / a, 4)
     print(json.dumps(out))
 
 
