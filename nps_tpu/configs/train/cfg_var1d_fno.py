@@ -60,6 +60,9 @@ trainer = dict(
     compute_dtype=None,
     resume=False,
     checkpoint_interval=None,  # None -> test_interval
+    # multi-host bring-up: "" off, "auto" (TPU pod), "host:port,N,i" —
+    # the var-t loaders shard per process (data/pipeline.py)
+    distributed="",
     eval_only=False,
     load_model=None,
 )

@@ -268,9 +268,20 @@ class VariableTimeLoader:
     collate crops every element to the batch minimum (train, random window)
     or pads to the maximum (eval), both rounded to time_window multiples,
     and returns the lengths (parity: ``trainers/base.py:180-216`` +
-    ``utils/collate_batch_helpers.py``)."""
+    ``utils/collate_batch_helpers.py``).
 
-    def __init__(self, dataset, batch_sampler, mode="min", time_window=25):
+    Multi-process: like :class:`HostDataLoader`, every process runs the
+    identical seeded batch sampler (same global batches, same per-batch
+    unroll depths), computes the crop/pad extent and crop starts over the
+    GLOBAL batch from length metadata, then materialises only its
+    contiguous slice; ``device_put_batch`` assembles the slices into
+    global ``jax.Array``s. Evaluation lengths are per-slice and assemble
+    into a batch-sharded global vector (the mask is built on-device from
+    it — ``pushforward.test_step``)."""
+
+    def __init__(self, dataset, batch_sampler, mode="min", time_window=25,
+                 seed=0, process_index=None, process_count=None,
+                 global_multiple=None):
         from nps_tpu.utils.collate import collate_batch_sim
 
         self.dataset = dataset
@@ -279,12 +290,63 @@ class VariableTimeLoader:
         self.tw = time_window
         self._collate_u = collate_batch_sim(t_dim=1, mode=mode,
                                             tw=time_window)
+        # crop-window RNG owned by the loader (not the global np.random
+        # stream): in a multi-process fleet every process must draw the
+        # SAME starts for the same global batch, which only holds if the
+        # stream cannot be perturbed by unrelated process-local code
+        self._rng = np.random.default_rng(seed)
+        self.process_index = (jax.process_index() if process_index is None
+                              else process_index)
+        self.process_count = (jax.process_count() if process_count is None
+                              else process_count)
+        self.global_multiple = (self.process_count if global_multiple is None
+                                else global_multiple)
+        assert self.global_multiple % self.process_count == 0, \
+            "global_multiple must be a multiple of the process count"
+        # per-element time lengths as metadata (no element IO): sampler
+        # already computed them; fall back to a local scan for custom
+        # samplers without the attribute
+        lengths = getattr(batch_sampler, "lengths", None)
+        if lengths is None:
+            lengths = np.array([dataset[i][1].shape[1]
+                                for i in range(len(dataset))])
+        self._lengths = np.asarray(lengths)
 
     def __len__(self):
         return len(self.batch_sampler)
 
     def __iter__(self):
+        from nps_tpu.parallel.multihost import process_slice
+        from nps_tpu.utils.collate import min_crop_starts
+
+        pc, pi, gm = self.process_count, self.process_index, \
+            self.global_multiple
         for idxs in self.batch_sampler:
+            idxs = [int(i) for i in idxs]
+            if pc > 1:
+                # trim ragged tails so the global batch shards evenly
+                # (only a sampler's final batch can be short, so yielded
+                # batch indices stay aligned with sampler batch indices)
+                idxs = idxs[:len(idxs) - len(idxs) % gm]
+                if not idxs:
+                    continue
+            # crop/pad extent + crop starts over the GLOBAL batch: drawn
+            # identically (lockstep RNG) on every process, then sliced
+            lengths_g = self._lengths[idxs]
+            if self.mode == "min":
+                shape_t = int(lengths_g.min())
+                shape_t -= shape_t % self.tw
+                starts_g = min_crop_starts(lengths_g, self.tw,
+                                           rng=self._rng)
+            else:
+                shape_t = int(lengths_g.max())
+                if shape_t % self.tw:
+                    shape_t += self.tw - shape_t % self.tw
+                starts_g = None
+            if pc > 1:
+                lo, hi = process_slice(len(idxs), pi, pc)
+                idxs = idxs[lo:hi]
+                starts_g = starts_g[lo:hi] if starts_g is not None else None
             els = [self.dataset[int(i)] for i in idxs]
             u_base = [e[0] for e in els]
             u = [e[1] for e in els]
@@ -296,17 +358,16 @@ class VariableTimeLoader:
             lengths = np.array([el.shape[1] for el in u], np.int32)
             # one start per element, shared by every role: the state
             # window, base solution, and BC drive stay time-aligned
-            # (utils.collate.min_crop_starts)
-            from nps_tpu.utils.collate import min_crop_starts
-
-            starts = (min_crop_starts(lengths, self.tw)
-                      if self.mode == "min" else None)
-            u = self._collate_u(u, starts=starts).astype(np.float32)
-            u_base = (self._collate_u(u_base, starts=starts)
+            # (utils.collate.min_crop_starts; drawn above over the GLOBAL
+            # batch so every process crops the same windows)
+            starts = starts_g
+            u = self._collate_u(u, starts=starts,
+                                shape_t=shape_t).astype(np.float32)
+            u_base = (self._collate_u(u_base, starts=starts, shape_t=shape_t)
                       .astype(np.float32)
                       if sum(e.size for e in u_base) else
                       np.zeros((len(els), 0), np.float32))
-            t_cond = (self._collate_u(t_cond, starts=starts)
+            t_cond = (self._collate_u(t_cond, starts=starts, shape_t=shape_t)
                       .astype(np.float32)
                       if sum(e.size for e in t_cond) else
                       np.zeros((len(els), 0), np.float32))

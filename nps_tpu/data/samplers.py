@@ -29,6 +29,13 @@ class VariableTimeBatchSampler:
         self._batches = []
         self._t_batch = {}
 
+    @property
+    def lengths(self):
+        """Per-element time lengths (metadata, no element IO) — lets a
+        multi-process loader compute GLOBAL crop/pad extents without
+        materialising off-process elements."""
+        return self._lengths
+
     def __len__(self):
         n = len(self.dataset)
         return max(1, n // self.batch_size) if self.with_replacement else \

@@ -406,15 +406,31 @@ class TrainInterface(metaclass=ABCMeta):
         from nps_tpu.utils.seed import get_seed
 
         if self.config.variable_time:
-            if jax.process_count() > 1:
-                raise NotImplementedError(
-                    "variable-time loaders are single-process (ragged "
-                    "batches cannot form global arrays); run multi-host "
-                    "training on fixed-shape datasets")
             # parity: trainers/base.py:180-216 — batch sampler + min-crop
-            # collate for training, max-pad for evaluation
+            # collate for training, max-pad for evaluation. Multi-process:
+            # every process runs the identical seeded sampler and collates
+            # its slice of each global batch (see VariableTimeLoader).
             from nps_tpu.data.pipeline import VariableTimeLoader
             from nps_tpu.data.samplers import VariableTimeBatchSampler
+
+            gm = 1
+            if jax.process_count() > 1:
+                if self.mesh is None:
+                    raise ValueError(
+                        "multi-host variable-time training requires a "
+                        "device mesh: set trainer.data_parallel=true (or "
+                        "tensor_parallel=K) — without one each process "
+                        "would silently train its own divergent model")
+                if hasattr(self.sharding, "shard_batch"):
+                    raise NotImplementedError(
+                        "spatial_parallel is single-process for now; use "
+                        "data_parallel/tensor_parallel multi-host")
+                gm = dict(self.mesh.shape).get("data", 1)
+                if self.config.batch_size % gm:
+                    raise ValueError(
+                        f"batch_size={self.config.batch_size} must divide "
+                        f"by the mesh's 'data' extent {gm} for multi-host "
+                        f"variable-time training")
 
             sampler_cfg = dict(getattr(self.config, "sampler", {}) or {})
             sampler_cfg.pop("object", None)
@@ -430,7 +446,8 @@ class TrainInterface(metaclass=ABCMeta):
                     split, batch_size=bs, with_replacement=wr,
                     seed=get_seed(), **sampler_cfg)
                 return VariableTimeLoader(split, sampler, mode=mode,
-                                          time_window=tw)
+                                          time_window=tw, seed=get_seed(),
+                                          global_multiple=gm)
 
             return (mk(self.data.train, "min", with_repl),
                     mk(self.data.valid, "max", False),

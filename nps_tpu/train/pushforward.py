@@ -307,9 +307,20 @@ class AutoregressivePushforwardTrainer(TrainInterface):
                 f"t_res={t_res} < 2*time_window={2 * tw}. Use a dataset with "
                 f"nt >= 2*time_window or lower --time_window.")
 
-        def fn(params, u_base, u_super, x, cond, t_cond, spatial_cond, mask):
+        def fn(params, u_base, u_super, x, cond, t_cond, spatial_cond,
+               lengths):
             cond_, t_cond_, sc_ = _opt(cond), _opt(t_cond), _opt(spatial_cond)
             u_base_ = _opt(u_base)
+            mask = None
+            if use_mask:
+                # validity mask built ON DEVICE from the per-element time
+                # lengths (vs the reference's host-side numpy fill,
+                # utils/collate_batch_helpers.py): under GSPMD the mask
+                # inherits u_super's batch sharding, so multi-process
+                # evaluation never gathers the global lengths to a host
+                iota = jax.lax.broadcasted_iota(jnp.int32, u_super.shape, 2)
+                lens = lengths.reshape((-1,) + (1,) * (u_super.ndim - 1))
+                mask = (iota < lens).astype(u_super.dtype)
 
             # one-step losses at tw-strided starts (:217-266)
             step_losses = []
@@ -511,17 +522,16 @@ class AutoregressivePushforwardTrainer(TrainInterface):
             raise RuntimeError(
                 "use_train_loss_calc=True is unexpected: test_step is "
                 "implemented")
-        mask = None
+        lengths = None
         if self.data.data_interface == D.sim1d_var_t:
-            # max-padded batch: mask invalid frames (parity: :191-199)
-            from nps_tpu.utils.collate import create_data_mask
-
+            # max-padded batch: mask invalid frames (parity: :191-199).
+            # The mask itself is built inside the jitted step from the
+            # per-element lengths so a multi-process fleet never reads a
+            # batch-sharded global array back to the host.
             u_base, u_super, x, cond, t_cond, spatial_cond, lengths = batch
-            lengths = [int(v) for v in np.asarray(lengths)]
+            lengths = jnp.asarray(lengths, jnp.int32)
             if max_test_len is not None:
-                lengths = [min(max_test_len, v) for v in lengths]
-            mask = jnp.asarray(create_data_mask(
-                np.zeros(u_super.shape, np.float32), lengths))
+                lengths = jnp.minimum(lengths, max_test_len)
         else:
             u_base, u_super, x, cond, t_cond, spatial_cond = batch
         t_res = int(u_super.shape[2])
@@ -529,16 +539,17 @@ class AutoregressivePushforwardTrainer(TrainInterface):
             t_res = min(max_test_len, t_res)
         batch_size = int(u_super.shape[0])
         has_base = u_base is not None and u_base.size > 0
+        use_mask = lengths is not None
 
         self._ensure_graph_static(x, batch_size)
-        fn = self._jit(("test", batch_size, t_res, has_base, mask is not None,
+        fn = self._jit(("test", batch_size, t_res, has_base, use_mask,
                         include_data),
                        lambda: self._make_test_step(batch_size, t_res,
                                                     has_base,
-                                                    use_mask=mask is not None,
+                                                    use_mask=use_mask,
                                                     include_data=include_data))
         out = fn(self.params, u_base, u_super, x, cond, t_cond, spatial_cond,
-                 mask)
+                 lengths)
 
         tw = self.tw
         steps_list = list(range(tw, t_res - tw + 1, tw))

@@ -150,10 +150,13 @@ def main(args):
                 print(f"[{name}/{split}] loss: {loss}")
                 print(util.dict_str(stats, prefix=" • "))
                 summary[f"{name}/{split}"] = dict(loss=loss, **stats)
-        with open(os.path.join(args["experiment_path"],
-                               args["experiment_name"]
-                               + "_eval_summary.pickle"), "wb") as f:
-            pickle.dump(summary, f)
+        import jax
+
+        if jax.process_index() == 0:  # writer guard (one file per fleet)
+            with open(os.path.join(args["experiment_path"],
+                                   args["experiment_name"]
+                                   + "_eval_summary.pickle"), "wb") as f:
+                pickle.dump(summary, f)
         print("Eval Completed!")
         return
 
@@ -180,11 +183,14 @@ def main(args):
     first = list(val_losses.keys())[0]
     print("Validation losses:", util.to_floatlist(val_losses[first]))
 
-    with open(os.path.join(args["experiment_path"],
-                           args["experiment_name"] + "_train_summary.pickle"),
-              "wb") as f:
-        pickle.dump(dict(train_losses=train_losses, val_losses=val_losses,
-                         val_stats=val_stats), f)
+    import jax
+
+    if jax.process_index() == 0:  # writer guard (one file per fleet)
+        with open(os.path.join(args["experiment_path"],
+                               args["experiment_name"]
+                               + "_train_summary.pickle"), "wb") as f:
+            pickle.dump(dict(train_losses=train_losses,
+                             val_losses=val_losses, val_stats=val_stats), f)
 
     test_loss, test_summary = trainer.test(test_loader)
     print("Test loss:", util.to_float(test_loss))

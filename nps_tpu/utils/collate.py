@@ -20,8 +20,9 @@ def min_crop_starts(ts, tw, rng=None):
     deliberate divergence."""
     shape_t = min(ts)
     shape_t -= shape_t % tw
-    rand = (rng or np.random).randint
-    return np.array([rand(0, t - shape_t + 1) for t in ts])
+    rand = (rng.integers if hasattr(rng, "integers")  # Generator API
+            else (rng or np.random).randint)
+    return np.array([int(rand(0, t - shape_t + 1)) for t in ts])
 
 
 def collate_batch_sim(t_dim=1, mode="min", tw=25):
@@ -31,17 +32,22 @@ def collate_batch_sim(t_dim=1, mode="min", tw=25):
     role crops the same window; clamped per element when a role is shorter
     than the role the starts were drawn for."""
 
-    def collate_fn(batch_list, starts=None):
+    def collate_fn(batch_list, starts=None, shape_t=None):
         shapes = [x.shape for x in batch_list]
         ts = [s[t_dim] for s in shapes]
-        if mode == "min":
-            shape_t = min(ts)
-            shape_t -= shape_t % tw
-        elif mode == "max":
-            shape_t = max(ts)
-            if shape_t % tw:
-                shape_t += tw - shape_t % tw
-        else:
+        if shape_t is None:
+            # local extent; a multi-process loader passes the GLOBAL
+            # min/max instead so every process collates to one shape
+            if mode == "min":
+                shape_t = min(ts)
+                shape_t -= shape_t % tw
+            elif mode == "max":
+                shape_t = max(ts)
+                if shape_t % tw:
+                    shape_t += tw - shape_t % tw
+            else:
+                raise ValueError("Combining mode must be 'min' or 'max'")
+        elif mode not in ("min", "max"):
             raise ValueError("Combining mode must be 'min' or 'max'")
 
         shape = list(shapes[0])

@@ -32,6 +32,9 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--test-interval", type=int, default=2)
+    p.add_argument("--var-t", action="store_true",
+                   help="run the variable-time (D.sim1d_var_t) family "
+                        "instead of the fixed-shape twophase grid")
     args = p.parse_args()
 
     from nps_tpu.parallel import init_distributed
@@ -46,29 +49,53 @@ def main():
     from nps_tpu.train import (AutoregressivePushforwardTrainer,
                                build_criterion)
 
-    dataset = PDE2DDataset(
-        base_path=args.data, experiment="twophase", data_format="memmap",
-        data_file="snapshots", conditioning="conditioning",
-        spatial_conditioning="spatial_conditioning", split_file="split",
-        c_filter=[0], name="twophase")
     tw = 5
-    model = models.EncProcDec(
-        num_c=1, num_spatial_dims=2, time_window=tw,
-        encoder="enc_grid.ElementWise", activation=GELU(),
-        processor="DilatedResnet", kernel_size=3, hidden_blocks=1,
-        hidden_features=8, padding_mode="circular",
-        decoder="dec_grid.TimeConvDense", dec_delta_mode="per_step",
-        pde=dataset.pde)
-    trainer = AutoregressivePushforwardTrainer(
-        model=model, data=dataset,
+    common = dict(
         criterion=build_criterion(object="nn.MSELoss", reduction="sum"),
         optimizer=dict(object="optim.Adam", lr=1e-3), lr_scheduler=None,
         save_path=os.path.join(args.out, f"p{args.pid}", "run"),
-        time_window=tw, base_resolution=(21, 16, 16),
-        super_resolution=(21, 16, 16), device="cpu", batch_size=8,
+        time_window=tw, device="cpu", batch_size=8,
         nr_gt_steps=1, nw=0, num_epochs=args.epochs, lr_step_interval=1,
         unrolling=1, print_interval=1, test_interval=args.test_interval,
         process_settings={}, data_parallel=True)
+    if args.var_t:
+        # variable-time family: ragged dataset, synchronized bucketing
+        # sampler, min-crop/max-pad multi-process collate
+        from nps_tpu.data.pde1d_var_t import PDE1DVarTDataset
+
+        dataset = PDE1DVarTDataset(
+            base_path=args.data, experiment="sim1d",
+            conditioning="conditioning", split_file="split",
+            name="var_t_mh")
+        model = models.EncProcDec(
+            num_c=2, num_spatial_dims=1, time_window=tw,
+            encoder="enc_grid.ElementWise", activation=GELU(),
+            processor="FNO", fno_modes=4, hidden_blocks=1,
+            hidden_features=16, padding_mode="circular",
+            decoder="dec_grid.TimeConvDense", dec_delta_mode="per_step",
+            pde=dataset.pde)
+        trainer = AutoregressivePushforwardTrainer(
+            model=model, data=dataset,
+            base_resolution=(10 * tw, 32), super_resolution=(10 * tw, 32),
+            **common)
+    else:
+        dataset = PDE2DDataset(
+            base_path=args.data, experiment="twophase",
+            data_format="memmap", data_file="snapshots",
+            conditioning="conditioning",
+            spatial_conditioning="spatial_conditioning",
+            split_file="split", c_filter=[0], name="twophase")
+        model = models.EncProcDec(
+            num_c=1, num_spatial_dims=2, time_window=tw,
+            encoder="enc_grid.ElementWise", activation=GELU(),
+            processor="DilatedResnet", kernel_size=3, hidden_blocks=1,
+            hidden_features=8, padding_mode="circular",
+            decoder="dec_grid.TimeConvDense", dec_delta_mode="per_step",
+            pde=dataset.pde)
+        trainer = AutoregressivePushforwardTrainer(
+            model=model, data=dataset,
+            base_resolution=(21, 16, 16), super_resolution=(21, 16, 16),
+            **common)
 
     train_losses, val_losses, _ = trainer.train()
     print("MH_RESULT " + json.dumps(dict(

@@ -43,7 +43,8 @@ def dataset_dir(tmp_path_factory):
     return str(d)
 
 
-def _spawn(pid, port, dataset_dir, out, epochs, test_interval):
+def _spawn(pid, port, dataset_dir, out, epochs, test_interval,
+           extra_args=()):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
@@ -53,7 +54,7 @@ def _spawn(pid, port, dataset_dir, out, epochs, test_interval):
         [sys.executable, os.path.join(repo, "tests", "mh_worker.py"),
          "--pid", str(pid), "--port", str(port), "--data", dataset_dir,
          "--out", out, "--epochs", str(epochs),
-         "--test-interval", str(test_interval)],
+         "--test-interval", str(test_interval), *extra_args],
         cwd=repo, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
 
 
@@ -93,6 +94,46 @@ def test_two_process_training_losses_equal_and_writer_guard(dataset_dir,
     assert any("metrics.jsonl" in f for f in p0_files), p0_files
     p1 = os.path.join(out, "p1")
     assert not os.path.exists(p1) or not os.listdir(p1)
+
+
+@pytest.fixture(scope="module")
+def var_t_dataset_dir(tmp_path_factory):
+    from nps_tpu.data.synthetic import generate_var_t
+
+    d = tmp_path_factory.mktemp("mhvart")
+    # 56 sims -> split 40/8/8: every eval split divides by the 8-shard
+    # global batch, so no eval batch trims to zero
+    generate_var_t(str(d / "sim1d"), n_sims=56, n_channels=2, nx=32,
+                   t_min=20, t_max=50, seed=11)
+    return str(d)
+
+
+def test_two_process_var_t_training(var_t_dataset_dir, tmp_path):
+    """REAL 2-process variable-time training: the synchronized sampler +
+    global-extent collate (VariableTimeLoader multi-process path) must
+    produce identical finite global losses on both processes, with
+    masked evaluation running on batch-sharded global arrays."""
+    port = _free_port()
+    out = str(tmp_path)
+    procs = [_spawn(i, port, var_t_dataset_dir, out, epochs=2,
+                    test_interval=2, extra_args=("--var-t",))
+             for i in range(2)]
+    try:
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+    finally:
+        for p in procs:
+            p.kill()
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode()[-2000:]
+    res = [_result_line(o) for o in outs]
+    np.testing.assert_allclose(res[0]["train_losses"],
+                               res[1]["train_losses"], rtol=1e-6)
+    assert all(np.isfinite(res[0]["train_losses"]))
+    # masked eval produced a finite validation metric on both processes
+    v0 = res[0]["val_losses"]["default"]
+    v1 = res[1]["val_losses"]["default"]
+    np.testing.assert_allclose(v0, v1, rtol=1e-6)
+    assert np.isfinite(v0).all()
 
 
 def test_cli_distributed_flag_two_processes(dataset_dir, tmp_path):

@@ -81,6 +81,38 @@ def test_var_t_loaders(trainer):
     assert (lengths <= vb[1].shape[2]).all()
 
 
+@pytest.mark.parametrize("mode", ["min", "max"])
+def test_var_t_loader_multiprocess_slices_match_global(dataset, mode):
+    """Two injected-index process loaders must partition the exact global
+    stream a single-process loader yields: same batches, same crop/pad
+    extent (computed over the GLOBAL batch), same crop starts (lockstep
+    RNG), each process holding its contiguous slice."""
+    from nps_tpu.data.pipeline import VariableTimeLoader
+    from nps_tpu.data.samplers import VariableTimeBatchSampler
+
+    def mk(pi, pc):
+        sampler = VariableTimeBatchSampler(
+            dataset.train, batch_size=4, time_window=TW, max_unrolling=1,
+            with_replacement=(mode == "min"), seed=3)
+        return VariableTimeLoader(dataset.train, sampler, mode=mode,
+                                  time_window=TW, seed=5,
+                                  process_index=pi, process_count=pc,
+                                  global_multiple=pc)
+
+    full = list(mk(0, 1))
+    p0 = list(mk(0, 2))
+    p1 = list(mk(1, 2))
+    assert len(p0) == len(p1) > 0
+    # without replacement a final ragged batch may trim away fleet-wide;
+    # every SURVIVING batch must reassemble to the single-process batch
+    for bf, b0, b1 in zip(full, p0, p1):
+        for rf, r0, r1 in zip(bf, b0, b1):
+            rf, r0, r1 = map(np.asarray, (rf, r0, r1))
+            cat = np.concatenate([r0, r1], axis=0)
+            assert rf.shape[1:] == cat.shape[1:], (rf.shape, cat.shape)
+            np.testing.assert_array_equal(rf[: cat.shape[0]], cat)
+
+
 def test_var_t_training_and_eval(trainer):
     train_losses, val_losses, val_stats = trainer.train()
     assert len(train_losses) == 2
