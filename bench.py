@@ -30,6 +30,7 @@ tools/bench_reference_torch.py and recorded in BASELINE.md).
 
 import json
 import sys
+import threading
 import time
 
 import numpy as np
@@ -189,6 +190,23 @@ def bench_rollout(trainer, device_batch, reps=3):
 
 
 _SNAPSHOT = None  # last complete result measured THIS run (headline-first)
+# serializes result-line printing between the main thread and the SIGTERM
+# reporter thread: CPython print() is not atomic, so a reporter firing
+# mid-_publish could interleave into a half-written line — the one
+# scenario the last-line protocol must survive
+_PRINT_LOCK = threading.Lock()
+
+
+def _print_result_line(obj):
+    # bounded acquire: if the main thread is wedged holding the lock
+    # (blocked in C mid-write), still emit rather than die silently
+    got = _PRINT_LOCK.acquire(timeout=5)
+    try:
+        sys.stdout.write(json.dumps(obj) + "\n")
+        sys.stdout.flush()
+    finally:
+        if got:
+            _PRINT_LOCK.release()
 
 
 def _budget_remaining():
@@ -205,7 +223,7 @@ def _publish(result):
     the last stdout line is always the freshest real number."""
     global _SNAPSHOT
     _SNAPSHOT = result
-    print(json.dumps(result), flush=True)
+    _print_result_line(result)
     if _os.environ.get("NPS_BENCH_TINY"):  # hermetic test shapes: don't
         return                             # clobber the real last-good cache
     try:
@@ -229,7 +247,7 @@ def _emit_error_and_exit(reason, code):
             err["last_measured"] = json.load(f)
     except (OSError, ValueError):
         pass
-    print(json.dumps(err), flush=True)
+    _print_result_line(err)
     os._exit(code)
 
 
@@ -257,7 +275,7 @@ def _install_sigterm_reporter():
             snap = dict(_SNAPSHOT)
             snap.setdefault("extra", {})
             snap["extra"] = {**snap["extra"], "truncated": "sigterm"}
-            print(json.dumps(snap), flush=True)
+            _print_result_line(snap)
             os._exit(0)
         _emit_error_and_exit(
             "killed by signal 15 before completion "

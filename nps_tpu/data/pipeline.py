@@ -311,9 +311,30 @@ class VariableTimeLoader:
             lengths = np.array([dataset[i][1].shape[1]
                                 for i in range(len(dataset))])
         self._lengths = np.asarray(lengths)
+        # surviving-batch accounting under global trimming: a ragged
+        # final batch shrinks to a multiple of global_multiple and is
+        # dropped fleet-wide when it trims to zero — __len__ must count
+        # only yielded batches (it is the trainer's loss denominator)
+        self._n_batches = len(batch_sampler)
+        if self.process_count > 1:
+            bs = getattr(batch_sampler, "batch_size", None)
+            wr = getattr(batch_sampler, "with_replacement", None)
+            if bs is not None and wr is not None:
+                n = len(dataset)
+                sizes = ([bs] * len(batch_sampler) if wr else
+                         [min(bs, n - s) for s in range(0, n, bs)])
+                gm = self.global_multiple
+                self._n_batches = sum(1 for s in sizes if s - s % gm > 0)
+            if self._n_batches == 0:
+                raise ValueError(
+                    f"every batch of this split trims to zero under "
+                    f"global_multiple={self.global_multiple} "
+                    f"(split has {len(dataset)} elements, batch_size="
+                    f"{bs}): a multi-process run needs every split to "
+                    f"hold at least global_multiple elements")
 
     def __len__(self):
-        return len(self.batch_sampler)
+        return self._n_batches
 
     def __iter__(self):
         from nps_tpu.parallel.multihost import process_slice

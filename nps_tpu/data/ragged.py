@@ -18,6 +18,7 @@ direction.
 """
 
 import os
+import warnings
 
 import numpy as np
 
@@ -133,6 +134,17 @@ class MmapNinjaReader:
     def __init__(self, dirname):
         self.dirname = dirname
         flat = _read_ninja_array(dirname)
+        if flat.ndim > 1 and not flat.flags["C_CONTIGUOUS"]:
+            # an F-order multi-dim buffer cannot be C-ravelled as a view;
+            # re-open the raw bytes 1-D so reads stay memmap-backed
+            # instead of silently materialising the whole store in RAM
+            flat = np.memmap(os.path.join(dirname, "data.ninja"),
+                             dtype=flat.dtype, mode="r",
+                             shape=(flat.size,), order="C")
+            warnings.warn(
+                f"{dirname}: order='F' flat buffer; element reads assume "
+                f"the ragged offsets index the on-disk (column-major) "
+                f"ravel order, as mmap_ninja wrote them")
         self.data = flat.reshape(-1) if flat.ndim > 1 else flat
 
         meta = {}

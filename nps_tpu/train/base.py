@@ -426,6 +426,13 @@ class TrainInterface(metaclass=ABCMeta):
                         "spatial_parallel is single-process for now; use "
                         "data_parallel/tensor_parallel multi-host")
                 gm = dict(self.mesh.shape).get("data", 1)
+                if gm % jax.process_count():
+                    raise ValueError(
+                        f"multi-host variable-time training needs the "
+                        f"mesh 'data' axis ({gm}) to be a multiple of "
+                        f"the process count ({jax.process_count()}): "
+                        f"lower tensor_parallel/expert_parallel so the "
+                        f"data axis spans whole processes")
                 if self.config.batch_size % gm:
                     raise ValueError(
                         f"batch_size={self.config.batch_size} must divide "

@@ -113,6 +113,22 @@ def test_var_t_loader_multiprocess_slices_match_global(dataset, mode):
             np.testing.assert_array_equal(rf[: cat.shape[0]], cat)
 
 
+def test_var_t_multiprocess_rejects_fully_trimmed_split(dataset):
+    """A split smaller than the mesh 'data' extent would yield ZERO
+    batches after global trimming — that must fail loudly at loader
+    construction, not as a ZeroDivisionError at the first evaluation."""
+    from nps_tpu.data.pipeline import VariableTimeLoader
+    from nps_tpu.data.samplers import VariableTimeBatchSampler
+
+    sampler = VariableTimeBatchSampler(
+        dataset.valid, batch_size=4, time_window=TW, max_unrolling=0,
+        with_replacement=False, seed=3)
+    with pytest.raises(ValueError, match="trims to zero"):
+        VariableTimeLoader(dataset.valid, sampler, mode="max",
+                           time_window=TW, process_index=0,
+                           process_count=2, global_multiple=8)
+
+
 def test_var_t_training_and_eval(trainer):
     train_losses, val_losses, val_stats = trainer.train()
     assert len(train_losses) == 2

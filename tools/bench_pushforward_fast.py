@@ -4,9 +4,13 @@ The depth-8 / ramp-weighted regime is bounded by the no-grad pushforward
 scan body (9 model applies per step, BASELINE.md "Remaining leads" item 3).
 pushforward_fast swaps the body's GroupNorm statistics to bf16 and GELU to
 the tanh approximation at trace time (models/config.py fast_forward_scope).
-This measures both arms at depths 1 and 8 through the exact bench step
-(bench.build_trainer / bench.bench_depth), plus the loss trajectory
-divergence between arms over n steps from identical init (same keys).
+This measures THROUGHPUT of both arms at the requested depths through the
+exact bench step (bench.build_trainer / bench.bench_depth). Numerical
+safety of the fast body is covered separately: the swap only affects the
+no-grad scan (next-window inputs, never a gradient path), and
+tests/test_pushforward_fast-style parity plus the BASELINE.md round-4
+A/B record carry that evidence — this tool does not re-measure loss
+trajectories.
 
 Usage: python tools/bench_pushforward_fast.py [n_steps] [arms] [depths]
   arms:   comma list of exact,fast   (default "exact,fast")
