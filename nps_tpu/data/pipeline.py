@@ -64,6 +64,12 @@ class HostDataLoader:
                 f"{self.global_multiple}: every batch would trim to zero; "
                 f"use a global batch size of at least the mesh's 'data' "
                 f"extent")
+        if self.process_count > 1 and not self._global_batch_sizes():
+            raise ValueError(
+                f"every batch of this split trims to zero under "
+                f"global_multiple={self.global_multiple} (split has "
+                f"{len(dataset)} elements): a multi-process run needs "
+                f"every split to hold at least global_multiple elements")
 
     def _global_batch_sizes(self):
         """Per-batch GLOBAL element counts for one epoch (same fleet-wide)."""
