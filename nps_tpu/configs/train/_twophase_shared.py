@@ -67,6 +67,9 @@ def make_trainer(base_args):
         # cheaper numerics inside the no-grad pushforward scan body only
         # (bf16 GN statistics, tanh GELU); see models/config.py
         pushforward_fast=False,
+        # compile-ahead: overlap the unroll ramp's future train-step
+        # compiles with training (train/pushforward.py)
+        precompile_ahead=True,
         device_cache=False,
         matmul_precision=None,
         compute_dtype=None,

@@ -100,9 +100,81 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         self._graph_cache = {}
         self._graph_hash = {}
         self._pp_apply = None
+        # background compile-ahead of the unroll ramp's future depths
+        # (see _maybe_precompile_ahead)
+        self._precompile_thread = None
+        self._precompiled_depths = set()
 
     def _on_state_rebuilt(self):
         self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+    # compile-ahead of the unroll ramp
+    # ------------------------------------------------------------------
+    def _maybe_precompile_ahead(self, args):
+        """Overlap the unroll ramp's future train-step compiles with
+        training. Each new pushforward depth is a new ``lax.scan`` length
+        -> a fresh XLA compile; on a remote compiler (axon tunnel) those
+        measured 200-350 s EACH and accounted for ~half the wall clock of
+        a first-time 500-epoch convergence run (BASELINE.md "Trained to
+        convergence", per-phase decomposition). A daemon worker lowers +
+        compiles depths 1..unrolling from abstract args while the chip
+        trains depth-0 epochs, so the backend compile is a warm cache hit
+        by the time the ramp first needs it. Pure warm-up: the worker
+        touches no training state and failures only cost the overlap.
+
+        The reference recompiles nothing (eager torch); this is a
+        TPU-native concern with no upstream counterpart.
+        """
+        if self._precompile_thread is not None:
+            return
+        if not getattr(self.config, "precompile_ahead", True):
+            return
+        unrolling = int(getattr(self.config, "unrolling", 0) or 0)
+        if unrolling <= 0 or self._is_gnn():
+            return
+        import threading
+
+        tw, t_res = self.tw, int(args[0].shape[2])
+        batch_size = int(args[0].shape[0])
+
+        def abstract(a):
+            if a is None or not hasattr(a, "shape"):
+                return a
+            sharding = getattr(a, "sharding", None)
+            try:
+                return jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                            sharding=sharding)
+            except TypeError:  # older signature without sharding kwarg
+                return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+        abs_args = jax.tree_util.tree_map(
+            abstract, (self.params, self.opt_state) + tuple(args),
+            is_leaf=lambda x: x is None)
+        # only depths the trajectory admits (mirrors _make_train_step's
+        # guard) and that the ramp will actually reach
+        depths = [d for d in range(1, unrolling + 1)
+                  if t_res - tw - tw * d + 1 > tw]
+
+        def worker():
+            import warnings as _w
+
+            for d in depths:
+                try:
+                    fn = self._jit(
+                        ("train", d, batch_size, t_res),
+                        lambda d=d: self._make_train_step(d, batch_size,
+                                                          t_res))
+                    fn.lower(*abs_args).compile()
+                    self._precompiled_depths.add(d)
+                except Exception as e:  # warm-up only: never fail training
+                    _w.warn(f"compile-ahead of unroll depth {d} failed "
+                            f"({e}); the ramp will compile it inline")
+                    return
+
+        self._precompile_thread = threading.Thread(target=worker,
+                                                   daemon=True)
+        self._precompile_thread.start()
 
     # ------------------------------------------------------------------
     # jitted step builders
@@ -511,6 +583,12 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         key = jax.random.fold_in(
             jax.random.fold_in(jax.random.PRNGKey(get_seed()), epoch),
             batch_idx)
+        if self.data.data_interface != D.sim1d_var_t:
+            # launch (once) the compile-ahead worker for the ramp's future
+            # depths — abstract shapes must be captured BEFORE the donating
+            # call below invalidates params/opt_state buffers
+            self._maybe_precompile_ahead(
+                (u_super, x, cond, t_cond, spatial_cond, key))
         self.params, self.opt_state, loss = fn(
             self.params, self.opt_state, u_super, x, cond, t_cond,
             spatial_cond, key)

@@ -306,3 +306,67 @@ def test_eval_rejects_too_short_trajectory(trainer):
     with pytest.raises(ValueError, match="2\\*time_window"):
         trainer._make_test_step(batch_size=4, t_res=2 * TW - 1,
                                 has_base=False)
+
+
+def test_precompile_ahead_warms_ramp_depths(dataset):
+    """The compile-ahead worker must warm every admissible unroll depth in
+    the background without touching training state, and the warmed jit
+    cache entries must be the exact functions the ramp later calls."""
+    model = models.EncProcDec(
+        num_c=1, num_spatial_dims=2, time_window=TW,
+        encoder="enc_grid.ElementWise", activation=GELU(),
+        processor="DilatedResnet", kernel_size=3, hidden_blocks=1,
+        hidden_features=8, padding_mode="circular",
+        decoder="dec_grid.TimeConvDense", dec_delta_mode="per_step",
+        pde=dataset.pde)
+    tr = AutoregressivePushforwardTrainer(
+        model=model, data=dataset,
+        criterion=build_criterion(object="nn.MSELoss", reduction="sum"),
+        optimizer=dict(object="optim.Adam", lr=1e-3), lr_scheduler=None,
+        save_path="/tmp/nps_tpu_test/precompile",
+        time_window=TW, base_resolution=(NT, NX1, NX2),
+        super_resolution=(NT, NX1, NX2), device="cpu", batch_size=4,
+        nr_gt_steps=1, nw=0, num_epochs=1, lr_step_interval=1, unrolling=2,
+        print_interval=10, test_interval=10, process_settings={})
+    loader, _, _ = tr.get_dataloaders()
+    tr.ensure_initialized(loader)
+    batch = next(iter(loader))
+    loss, _ = tr.train_step(batch, epoch=0, batch_idx=0, loader=loader)
+    assert np.isfinite(float(loss))
+    assert tr._precompile_thread is not None
+    tr._precompile_thread.join(timeout=300)
+    assert not tr._precompile_thread.is_alive()
+    # NT=41, TW=5 admits depths where 41 - 5 - 5d + 1 > 5 -> d <= 6; the
+    # ramp caps at unrolling=2, so both future depths must be warmed
+    assert tr._precompiled_depths == {1, 2}
+    assert ("train", 1, 4, NT) in tr._jit_cache
+    assert ("train", 2, 4, NT) in tr._jit_cache
+    # the warmed entries are immediately usable: run a depth-2 step
+    loss2, _ = tr.train_step(batch, epoch=2, batch_idx=1, loader=loader)
+    assert np.isfinite(float(loss2))
+
+
+def test_precompile_ahead_flag_off(dataset):
+    model = models.EncProcDec(
+        num_c=1, num_spatial_dims=2, time_window=TW,
+        encoder="enc_grid.ElementWise", activation=GELU(),
+        processor="DilatedResnet", kernel_size=3, hidden_blocks=1,
+        hidden_features=8, padding_mode="circular",
+        decoder="dec_grid.TimeConvDense", dec_delta_mode="per_step",
+        pde=dataset.pde)
+    tr = AutoregressivePushforwardTrainer(
+        model=model, data=dataset,
+        criterion=build_criterion(object="nn.MSELoss", reduction="sum"),
+        optimizer=dict(object="optim.Adam", lr=1e-3), lr_scheduler=None,
+        save_path="/tmp/nps_tpu_test/precompile_off",
+        time_window=TW, base_resolution=(NT, NX1, NX2),
+        super_resolution=(NT, NX1, NX2), device="cpu", batch_size=4,
+        nr_gt_steps=1, nw=0, num_epochs=1, lr_step_interval=1, unrolling=2,
+        print_interval=10, test_interval=10, process_settings={},
+        precompile_ahead=False)
+    loader, _, _ = tr.get_dataloaders()
+    tr.ensure_initialized(loader)
+    batch = next(iter(loader))
+    tr.train_step(batch, epoch=0, batch_idx=0, loader=loader)
+    assert tr._precompile_thread is None
+    assert tr._precompiled_depths == set()
