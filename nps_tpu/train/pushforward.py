@@ -30,6 +30,7 @@ TPU-native design (not a translation):
 """
 
 import math
+import threading
 
 import numpy as np
 import jax
@@ -104,6 +105,14 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         # (see _maybe_precompile_ahead)
         self._precompile_thread = None
         self._precompiled_depths = set()
+        self._compile_gate = threading.Lock()
+        self._compile_locks = {}
+
+    def _key_lock(self, key):
+        """Per-jit-key lock so the compile-ahead worker and the training
+        thread never race two compiles of the same step function."""
+        with self._compile_gate:
+            return self._compile_locks.setdefault(key, threading.Lock())
 
     def _on_state_rebuilt(self):
         self._jit_cache = {}
@@ -133,8 +142,6 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         unrolling = int(getattr(self.config, "unrolling", 0) or 0)
         if unrolling <= 0 or self._is_gnn():
             return
-        import threading
-
         tw, t_res = self.tw, int(args[0].shape[2])
         batch_size = int(args[0].shape[0])
 
@@ -161,12 +168,16 @@ class AutoregressivePushforwardTrainer(TrainInterface):
 
             for d in depths:
                 try:
-                    fn = self._jit(
-                        ("train", d, batch_size, t_res),
-                        lambda d=d: self._make_train_step(d, batch_size,
-                                                          t_res))
-                    fn.lower(*abs_args).compile()
-                    self._precompiled_depths.add(d)
+                    key = ("train", d, batch_size, t_res)
+                    with self._key_lock(key):
+                        if d in self._precompiled_depths:
+                            continue
+                        fn = self._jit(
+                            key,
+                            lambda d=d: self._make_train_step(d, batch_size,
+                                                              t_res))
+                        fn.lower(*abs_args).compile()
+                        self._precompiled_depths.add(d)
                 except Exception as e:  # warm-up only: never fail training
                     _w.warn(f"compile-ahead of unroll depth {d} failed "
                             f"({e}); the ramp will compile it inline")
@@ -575,7 +586,14 @@ class AutoregressivePushforwardTrainer(TrainInterface):
             unrolled = py_random.choice(list(range(max_unrolling + 1)))
 
         self._ensure_graph_static(x, batch_size)
-        fn = self._jit(("train", unrolled, batch_size, t_res),
+        step_key = ("train", unrolled, batch_size, t_res)
+        if self._precompile_thread is not None:
+            # if the compile-ahead worker is mid-compile on exactly this
+            # depth, block for its warm compile instead of racing a
+            # duplicate inline compile of the same function
+            with self._key_lock(step_key):
+                pass
+        fn = self._jit(step_key,
                        lambda: self._make_train_step(unrolled, batch_size,
                                                      t_res))
         from nps_tpu.utils.seed import get_seed
