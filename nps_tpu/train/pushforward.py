@@ -116,6 +116,10 @@ class AutoregressivePushforwardTrainer(TrainInterface):
 
     def _on_state_rebuilt(self):
         self._jit_cache = {}
+        # the warmed jitted fns are gone with the cache; let a fresh
+        # worker re-warm (the persistent XLA cache keeps it cheap)
+        self._precompiled_depths = set()
+        self._precompile_thread = None
 
     # ------------------------------------------------------------------
     # compile-ahead of the unroll ramp
