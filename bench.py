@@ -324,6 +324,17 @@ def main():
     import os
 
     _install_sigterm_reporter()
+
+    # the axon tunnel is single-client: a long training run holding the
+    # chip would block jax.devices() below until the watchdog kills this
+    # bench. Evict an advertised holder first (SIGTERM -> the trainer
+    # checkpoints and exits; SIGKILL after the grace window frees the
+    # tunnel even from a holder wedged in a remote compile).
+    from nps_tpu.utils.chip_lock import preempt_holder
+
+    preempt_holder(
+        grace_s=float(os.environ.get("NPS_BENCH_PREEMPT_S", "300")))
+
     watchdog = _device_watchdog()
     import jax
 

@@ -140,6 +140,14 @@ class TrainInterface(metaclass=ABCMeta):
         else:
             self.device = jax.devices()[0]
         self.platform = self.device.platform
+        if self.platform == "tpu":
+            # advertise this process as the single-client tunnel holder so
+            # a round-end bench can preempt it instead of hanging
+            # (utils/chip_lock.py; SIGTERM lands in the preemption handlers
+            # below -> batch-boundary checkpoint -> clean exit)
+            from nps_tpu.utils.chip_lock import advertise
+
+            advertise()
 
         n_spatial = int(getattr(self.config, "spatial_parallel", 0) or 0)
         n_tp = int(getattr(self.config, "tensor_parallel", 0) or 0)
