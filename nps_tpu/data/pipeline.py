@@ -138,12 +138,21 @@ def device_put_batch(batch, sharding=None):
     for a in batch:
         if isinstance(a, jax.Array) and a.sharding == sharding:
             out.append(a)
-        elif (a.ndim == 0 or a.shape[0] == 0 or a.size == 0
-                or a.shape[0] % n_shards != 0):
+        elif a.ndim == 0:
+            # scalars replicate on the mesh: a single-device scalar next
+            # to mesh-placed params breaks AOT lowering (compile-ahead)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            out.append(jax.device_put(a, NamedSharding(sharding.mesh, P())))
+        elif a.shape[0] % n_shards != 0:
             # remainder batches (batch % n_devices != 0) stay unsharded —
             # one extra jit specialization, correct metrics weighting
             out.append(jax.device_put(a))
         else:
+            # includes zero-size arrays with a divisible leading dim
+            # (empty t_cond/u_base): sharding zero bytes is free and keeps
+            # EVERY steady-state batch leaf on the same device set, which
+            # AOT lowering (compile-ahead) requires
             out.append(jax.device_put(a, sharding))
     return tuple(out)
 

@@ -294,6 +294,13 @@ class TrainInterface(metaclass=ABCMeta):
             from nps_tpu.parallel import shard_opt_state
 
             self.opt_state = shard_opt_state(self.opt_state, self.mesh)
+        elif self.mesh is not None:
+            # tx.init leaves optax wrapper counters (MultiSteps' mini_step/
+            # gradient_step under grad_accum) on the default device even
+            # when the params live on the mesh; AOT lowering (compile-ahead)
+            # rejects the mixed device sets. Mirror the resume path: place
+            # the whole state per the trainer's parallel mode.
+            self.opt_state = self._place_state(self.opt_state)
         self._build_lr_scheduler()
         self._on_state_rebuilt()
 

@@ -149,10 +149,22 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         tw, t_res = self.tw, int(args[0].shape[2])
         batch_size = int(args[0].shape[0])
 
+        mesh = getattr(self, "mesh", None) or getattr(
+            getattr(self, "sharding", None), "mesh", None)
+
         def abstract(a):
             if a is None or not hasattr(a, "shape"):
                 return a
             sharding = getattr(a, "sharding", None)
+            if mesh is not None and not isinstance(
+                    sharding, jax.sharding.NamedSharding):
+                # an uncommitted single-device leaf (the PRNG key, host
+                # scalars): inline dispatch is free to move it onto the
+                # mesh, but freezing its SingleDeviceSharding into the AOT
+                # lowering makes XLA reject the mixed device sets. Leave
+                # the sharding unspecified and let lowering place it the
+                # way inline dispatch would.
+                sharding = None
             try:
                 return jax.ShapeDtypeStruct(a.shape, a.dtype,
                                             sharding=sharding)

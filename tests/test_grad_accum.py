@@ -55,7 +55,8 @@ def _trainer(dataset, tmp_path, tag, batch_size=4, **extra):
         base_resolution=(21, 16, 16), super_resolution=(21, 16, 16),
         device="cpu", batch_size=batch_size, nr_gt_steps=1, nw=0,
         num_epochs=1,
-        lr_step_interval=1, unrolling=0, print_interval=1,
+        lr_step_interval=1, unrolling=extra.pop("unrolling", 0),
+        print_interval=1,
         test_interval=2, process_settings={}, **extra)
 
 
@@ -107,3 +108,38 @@ def test_grad_accum_composes_with_dp_zero1(dataset, tmp_path):
               if hasattr(x, "sharding") and getattr(x, "ndim", 0) >= 1
               and x.shape[0] >= 8 and x.shape[0] % 8 == 0]
     assert leaves and all("data" in str(x.sharding.spec) for x in leaves)
+
+
+def test_opt_state_fully_on_mesh_under_dp(dataset, tmp_path):
+    """tx.init leaves the MultiSteps counters (mini_step/gradient_step) on
+    the default device; under a mesh that mixed placement breaks AOT
+    lowering of compile-ahead (dryrun regime 7 warned, round 4). Every
+    opt_state leaf must live on the full mesh device set."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    tr = _trainer(dataset, tmp_path, "gm", grad_accum=2,
+                  data_parallel=True, batch_size=8, unrolling=1)
+    loader = tr.get_dataloaders()[0]
+    tr.ensure_initialized(loader)
+    mesh_devs = set(tr.mesh.devices.flat)
+    for x in jax.tree_util.tree_leaves(tr.opt_state):
+        if hasattr(x, "sharding"):
+            assert set(x.sharding.device_set) == mesh_devs, x
+
+    # the REAL compile-ahead worker must succeed against this state (it
+    # AOT-lowers with the captured shardings; a single-device leaf in the
+    # mix fails the lowering and silently forfeits the overlap)
+    import warnings
+    from nps_tpu.data.pipeline import device_put_batch
+
+    _, u_super, x, cond, t_cond, sc = device_put_batch(
+        next(iter(loader)), tr.sharding)
+    key = jax.random.PRNGKey(0)  # uncommitted single-device, as in train_step
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        tr._maybe_precompile_ahead((u_super, x, cond, t_cond, sc, key))
+        assert tr._precompile_thread is not None
+        tr._precompile_thread.join(timeout=600)
+    bad = [str(w.message) for w in rec if "compile-ahead" in str(w.message)]
+    assert not bad, bad
+    assert 1 in tr._precompiled_depths
