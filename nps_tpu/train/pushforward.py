@@ -192,7 +192,10 @@ class AutoregressivePushforwardTrainer(TrainInterface):
                             key,
                             lambda d=d: self._make_train_step(d, batch_size,
                                                               t_res))
-                        fn.lower(*abs_args).compile()
+                        from nps_tpu.utils.retry import with_compile_retry
+
+                        with_compile_retry(
+                            lambda: fn.lower(*abs_args).compile(), retries=1)
                         self._precompiled_depths.add(d)
                 except Exception as e:  # warm-up only: never fail training
                     _w.warn(f"compile-ahead of unroll depth {d} failed "
@@ -623,8 +626,12 @@ class AutoregressivePushforwardTrainer(TrainInterface):
             # call below invalidates params/opt_state buffers
             self._maybe_precompile_ahead(
                 (u_super, x, cond, t_cond, spatial_cond, key))
-        self.params, self.opt_state, loss = fn(
-            self.params, self.opt_state, u_super, x, cond, t_cond,
+        # retried on transient remote-compile tunnel drops ONLY (narrow
+        # message gate; donated buffers are untouched by a failed compile)
+        from nps_tpu.utils.retry import with_compile_retry
+
+        self.params, self.opt_state, loss = with_compile_retry(
+            fn, self.params, self.opt_state, u_super, x, cond, t_cond,
             spatial_cond, key)
         return loss, None
 
@@ -660,8 +667,10 @@ class AutoregressivePushforwardTrainer(TrainInterface):
                                                     has_base,
                                                     use_mask=use_mask,
                                                     include_data=include_data))
-        out = fn(self.params, u_base, u_super, x, cond, t_cond, spatial_cond,
-                 lengths)
+        from nps_tpu.utils.retry import with_compile_retry
+
+        out = with_compile_retry(fn, self.params, u_base, u_super, x, cond,
+                                 t_cond, spatial_cond, lengths)
 
         tw = self.tw
         steps_list = list(range(tw, t_res - tw + 1, tw))
@@ -738,7 +747,10 @@ class AutoregressivePushforwardTrainer(TrainInterface):
                     batch_size=batch_size, u_bc=u_bc, u_mask=u_mask)
             return jax.jit(fn)
 
-        res = self._jit(key, build)(
+        from nps_tpu.utils.retry import with_compile_retry
+
+        res = with_compile_retry(
+            self._jit(key, build),
             self.params, u, cond_, jnp.asarray(x), t_cond_, sc_, u_bc_,
             u_mask_)
 

@@ -151,3 +151,53 @@ def test_min_crop_alignment_across_roles():
         np.testing.assert_array_equal(u_base[i, 0], u_super[i, 0])
         np.testing.assert_array_equal(conditioning[i, 0], u_super[i, 0])
     assert list(lengths) == [40, 35, 50]  # pre-crop, reference semantics
+
+
+class TestCompileRetry:
+    """utils/retry.py: bounded retry, gated strictly on the remote-compile
+    tunnel signature (the round-4 GNN-run killer)."""
+
+    MSG = ("INTERNAL: http://127.0.0.1:8103/remote_compile: read body: "
+           "response body closed before all bytes were read")
+
+    def test_retries_transient_then_succeeds(self):
+        from nps_tpu.utils.retry import with_compile_retry
+
+        calls = []
+
+        def flaky():
+            calls.append(1)
+            if len(calls) < 3:
+                raise RuntimeError(self.MSG)
+            return "ok"
+
+        assert with_compile_retry(flaky, retries=2, delay_s=0) == "ok"
+        assert len(calls) == 3
+
+    def test_non_matching_error_propagates_immediately(self):
+        from nps_tpu.utils.retry import with_compile_retry
+
+        calls = []
+
+        def bad():
+            calls.append(1)
+            raise ValueError("nan loss")
+
+        import pytest
+        with pytest.raises(ValueError):
+            with_compile_retry(bad, retries=5, delay_s=0)
+        assert len(calls) == 1
+
+    def test_exhausted_retries_raise(self):
+        from nps_tpu.utils.retry import with_compile_retry
+
+        calls = []
+
+        def always():
+            calls.append(1)
+            raise RuntimeError(self.MSG)
+
+        import pytest
+        with pytest.raises(RuntimeError):
+            with_compile_retry(always, retries=2, delay_s=0)
+        assert len(calls) == 3
