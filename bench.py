@@ -330,10 +330,16 @@ def main():
     # bench. Evict an advertised holder first (SIGTERM -> the trainer
     # checkpoints and exits; SIGKILL after the grace window frees the
     # tunnel even from a holder wedged in a remote compile).
+    # Guard: only evict when this run actually takes the tunnel (or a test
+    # opted in via an explicit NPS_CHIP_LOCK). A hermetic CPU run pointed
+    # at the default lock path must never SIGTERM a real chip holder.
     from nps_tpu.utils.chip_lock import preempt_holder
 
-    preempt_holder(
-        grace_s=float(os.environ.get("NPS_BENCH_PREEMPT_S", "300")))
+    off_tunnel = (os.environ.get("JAX_PLATFORMS", "") == "cpu"
+                  or os.environ.get("PALLAS_AXON_POOL_IPS") == "")
+    if "NPS_CHIP_LOCK" in os.environ or not off_tunnel:
+        preempt_holder(
+            grace_s=float(os.environ.get("NPS_BENCH_PREEMPT_S", "300")))
 
     watchdog = _device_watchdog()
     import jax

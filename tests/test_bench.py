@@ -18,6 +18,7 @@ import os
 import signal
 import subprocess
 import sys
+import tempfile
 import time
 
 
@@ -26,6 +27,12 @@ def _hermetic_env():
     # hermetic: keep the subprocess off the TPU tunnel (verify-skill recipe)
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
+    # ... and off the REAL chip lock: bench.py evicts (SIGTERMs) whatever
+    # holder is advertised there, so a hermetic test child pointed at the
+    # default /tmp/nps_chip.lock would kill a concurrently running real
+    # bench or convergence run on this host.
+    env["NPS_CHIP_LOCK"] = os.path.join(
+        tempfile.mkdtemp(prefix="nps_bench_test_"), "chip.lock")
     return env
 
 
