@@ -141,6 +141,11 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         """
         if self._precompile_thread is not None:
             return
+        if self._use_dynamic_unroll():
+            # the depth-generic step compiles ONCE for all depths; there is
+            # nothing to warm (this worker's measured overlap ceiling at
+            # fresh shapes was ~35% anyway — BASELINE.md)
+            return
         if not getattr(self.config, "precompile_ahead", True):
             return
         unrolling = int(getattr(self.config, "unrolling", 0) or 0)
@@ -394,6 +399,101 @@ class AutoregressivePushforwardTrainer(TrainInterface):
         return jax.jit(step_fn if precision is None else traced,
                        donate_argnums=(0, 1))
 
+    def _make_train_step_dynamic(self, batch_size, t_res):
+        """One compiled step for EVERY pushforward depth.
+
+        The no-grad pushforward unroll runs OUTSIDE ``value_and_grad``
+        (nothing differentiates through it — the reference's
+        ``torch.no_grad()``, ``autoregressivepushforwardtrainer.py:115-144``),
+        so the per-depth ``lax.scan`` length — the only depth-static piece
+        of the step — can become a traced trip count: a ``lax.fori_loop``
+        over ``unrolled`` with the randint start bound as a traced operand.
+        One XLA compile then serves depths 0..unrolling, deleting the
+        ramp's one-compile-per-depth tax (300-400 s per depth on the axon
+        remote compiler — the dominant real cost of a fresh-shape
+        convergence run, BASELINE.md "Compile-ahead measured at fresh
+        shapes"). Depth parity vs the static builder is pinned by
+        tests/test_dynamic_unroll.py.
+        """
+        pde = self.data.pde
+        mi = self.model.model_interface
+        ps = dict(self.config.process_settings)
+        tw = self.tw
+        criterion = self.criterion
+        tx = self.tx
+        precision = self._precision()
+        zero_sh = self._zero_shardings()  # ZeRO-1 in-step constraints
+
+        def step_fn(params, opt_state, u_super, x, cond, t_cond,
+                    spatial_cond, key, unrolled):
+            cond_, t_cond_, sc_ = _opt(cond), _opt(t_cond), _opt(spatial_cond)
+
+            def t_window(steps):
+                return (window(t_cond_, steps, tw, "labels")
+                        if t_cond_ is not None else None)
+
+            # random start step per batch element (:95); the upper bound is
+            # a traced function of the depth operand (validated host-side in
+            # train_step — jax.random.randint cannot check a traced range)
+            steps0 = jax.random.randint(
+                key, (batch_size,), tw,
+                t_res - tw - tw * unrolled + 1, dtype=jnp.int32)
+            data, labels = window(u_super, steps0, tw, "both")
+            _, bc = process_step(pde, mi, data, data, labels,
+                                 get_bc=True, set_bc=False, set_min=False,
+                                 process_settings=ps)
+
+            fast = bool(getattr(self.config, "pushforward_fast", False))
+
+            def body(_i, carry):
+                from nps_tpu.models import config as model_config
+
+                data, labels, bc, steps = carry
+                with model_config.fast_forward_scope(fast):
+                    pred = self._apply(params, data, cond_, bc, x,
+                                       t_window(steps), sc_)
+                labels_prev = labels
+                steps = steps + tw
+                labels = window(u_super, steps, tw, "labels")
+                data, bc = process_step(pde, mi, pred, labels_prev, labels,
+                                        get_bc=True, set_bc=True,
+                                        set_min=True, process_settings=ps)
+                return (data, labels, bc, steps)
+
+            carry = (data, labels, bc, steps0)
+            carry = jax.lax.fori_loop(0, unrolled, body, carry)
+            data, labels, bc, steps = jax.lax.stop_gradient(carry)
+
+            def loss_fn(params):
+                pred = self._apply(params, data, cond_, bc, x,
+                                   t_window(steps), sc_)
+                pred, _ = process_step(pde, mi, pred, labels, None,
+                                       get_bc=False, set_bc=True, set_min=True,
+                                       process_settings=ps)
+                return jnp.sqrt(criterion(pred, labels))  # loss (:161-162)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            if zero_sh is not None:
+                grads = jax.lax.with_sharding_constraint(grads, zero_sh[0])
+            updates, opt_state = tx.update(grads, opt_state, params)
+            if zero_sh is not None:
+                opt_state = jax.lax.with_sharding_constraint(
+                    opt_state, zero_sh[1])
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
+            return params, opt_state, loss
+
+        def traced(params, opt_state, *args):
+            with jax.default_matmul_precision(precision) if precision else \
+                    _nullcontext():
+                return step_fn(params, opt_state, *args)
+
+        return jax.jit(step_fn if precision is None else traced,
+                       donate_argnums=(0, 1))
+
+    def _use_dynamic_unroll(self):
+        return bool(getattr(self.config, "dynamic_unroll", True))
+
     def _make_test_step(self, batch_size, t_res, has_base, use_mask=False,
                         include_data=False):
         pde = self.data.pde
@@ -605,34 +705,53 @@ class AutoregressivePushforwardTrainer(TrainInterface):
             unrolled = py_random.choice(list(range(max_unrolling + 1)))
 
         self._ensure_graph_static(x, batch_size)
-        step_key = ("train", unrolled, batch_size, t_res)
-        if self._precompile_thread is not None:
-            # if the compile-ahead worker is mid-compile on exactly this
-            # depth, block for its warm compile instead of racing a
-            # duplicate inline compile of the same function
-            with self._key_lock(step_key):
-                pass
-        fn = self._jit(step_key,
-                       lambda: self._make_train_step(unrolled, batch_size,
-                                                     t_res))
+        dynamic = self._use_dynamic_unroll()
+        if dynamic:
+            # one depth-generic compiled step (traced trip count); the
+            # range check the static builder does at trace time moves here
+            # (jax.random.randint cannot validate a traced bound)
+            tw = self.tw
+            if t_res - tw - tw * unrolled + 1 <= tw:
+                raise ValueError(
+                    f"trajectory too short to train at unroll depth "
+                    f"{unrolled}: t_res={t_res} needs at least "
+                    f"tw*(unrolled+2)={tw * (unrolled + 2)} (tw={tw})")
+            step_key = ("train_dyn", batch_size, t_res)
+            fn = self._jit(step_key,
+                           lambda: self._make_train_step_dynamic(batch_size,
+                                                                 t_res))
+        else:
+            step_key = ("train", unrolled, batch_size, t_res)
+            if self._precompile_thread is not None:
+                # if the compile-ahead worker is mid-compile on exactly this
+                # depth, block for its warm compile instead of racing a
+                # duplicate inline compile of the same function
+                with self._key_lock(step_key):
+                    pass
+            fn = self._jit(step_key,
+                           lambda: self._make_train_step(unrolled, batch_size,
+                                                         t_res))
         from nps_tpu.utils.seed import get_seed
 
         key = jax.random.fold_in(
             jax.random.fold_in(jax.random.PRNGKey(get_seed()), epoch),
             batch_idx)
-        if self.data.data_interface != D.sim1d_var_t:
+        if self.data.data_interface != D.sim1d_var_t and not dynamic:
             # launch (once) the compile-ahead worker for the ramp's future
             # depths — abstract shapes must be captured BEFORE the donating
-            # call below invalidates params/opt_state buffers
+            # call below invalidates params/opt_state buffers. The dynamic
+            # step has no per-depth compiles to warm.
             self._maybe_precompile_ahead(
                 (u_super, x, cond, t_cond, spatial_cond, key))
         # retried on transient remote-compile tunnel drops ONLY (narrow
         # message gate; donated buffers are untouched by a failed compile)
         from nps_tpu.utils.retry import with_compile_retry
 
+        args = (u_super, x, cond, t_cond, spatial_cond, key)
+        if dynamic:
+            args = args + (jnp.asarray(unrolled, jnp.int32),)
         self.params, self.opt_state, loss = with_compile_retry(
-            fn, self.params, self.opt_state, u_super, x, cond, t_cond,
-            spatial_cond, key)
+            fn, self.params, self.opt_state, *args)
         return loss, None
 
     def test_step(self, batch, batch_idx, use_train_loss_calc=False,

@@ -18,21 +18,21 @@ import os
 import signal
 import subprocess
 import sys
-import tempfile
 import time
 
 
-def _hermetic_env():
+def _hermetic_env(tmp_path):
     env = dict(os.environ)
     # hermetic: keep the subprocess off the TPU tunnel (verify-skill recipe)
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
-    # ... and off the REAL chip lock: bench.py evicts (SIGTERMs) whatever
-    # holder is advertised there, so a hermetic test child pointed at the
-    # default /tmp/nps_chip.lock would kill a concurrently running real
-    # bench or convergence run on this host.
-    env["NPS_CHIP_LOCK"] = os.path.join(
-        tempfile.mkdtemp(prefix="nps_bench_test_"), "chip.lock")
+    # ... and off the REAL chip lock: even though an off-tunnel bench run
+    # skips holder preemption entirely, keep the child pointed at a
+    # pytest-managed temp path so no configuration drift can ever reach
+    # the production lock. NPS_CHIP_LOCK no longer opts in to eviction
+    # (that is NPS_BENCH_FORCE_PREEMPT, see test_chip_lock.py).
+    env["NPS_CHIP_LOCK"] = str(tmp_path / "chip.lock")
+    env.pop("NPS_BENCH_FORCE_PREEMPT", None)
     return env
 
 
@@ -47,11 +47,12 @@ def _wait_for_armed(p, deadline_s=60):
     return False
 
 
-def test_bench_sigterm_emits_error_json():
+def test_bench_sigterm_emits_error_json(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     p = subprocess.Popen(
         [sys.executable, "bench.py"], cwd=repo,
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=_hermetic_env())
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        env=_hermetic_env(tmp_path))
     try:
         assert _wait_for_armed(p), "bench.py never armed its reporter"
         p.send_signal(signal.SIGTERM)
@@ -76,7 +77,7 @@ def test_bench_headline_survives_budget_timeout(tmp_path):
     headline is still measured, printed, and non-null (the round-3 driver
     record was null because everything printed at the end)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = _hermetic_env()
+    env = _hermetic_env(tmp_path)
     env.update(NPS_BENCH_TINY="1", NPS_BENCH_NX="16", NPS_BENCH_TW="5",
                NPS_BENCH_BATCH="2", NPS_BENCH_STEPS="2",
                NPS_BENCH_BUDGET_S="0",

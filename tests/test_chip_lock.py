@@ -105,6 +105,9 @@ def test_bench_evicts_holder_end_to_end(lock, tmp_path):
     p = _spawn_holder(lock, marker)
     env = dict(os.environ)
     env.update(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               # hermetic CPU runs skip preemption unless a test explicitly
+               # opts in (ADVICE r4: NPS_CHIP_LOCK presence must not arm it)
+               NPS_BENCH_FORCE_PREEMPT="1",
                NPS_CHIP_LOCK=lock, NPS_BENCH_TINY="1", NPS_BENCH_NX="16",
                NPS_BENCH_TW="5", NPS_BENCH_BATCH="2", NPS_BENCH_STEPS="2",
                NPS_BENCH_BUDGET_S="0", NPS_BENCH_PREEMPT_S="30")

@@ -118,7 +118,9 @@ def test_opt_state_fully_on_mesh_under_dp(dataset, tmp_path):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     tr = _trainer(dataset, tmp_path, "gm", grad_accum=2,
-                  data_parallel=True, batch_size=8, unrolling=1)
+                  data_parallel=True, batch_size=8, unrolling=1,
+                  # compile-ahead exists only for the static per-depth path
+                  dynamic_unroll=False)
     loader = tr.get_dataloaders()[0]
     tr.ensure_initialized(loader)
     mesh_devs = set(tr.mesh.devices.flat)

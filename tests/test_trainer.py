@@ -327,7 +327,10 @@ def test_precompile_ahead_warms_ramp_depths(dataset):
         time_window=TW, base_resolution=(NT, NX1, NX2),
         super_resolution=(NT, NX1, NX2), device="cpu", batch_size=4,
         nr_gt_steps=1, nw=0, num_epochs=1, lr_step_interval=1, unrolling=2,
-        print_interval=10, test_interval=10, process_settings={})
+        print_interval=10, test_interval=10, process_settings={},
+        # compile-ahead only exists for the static per-depth fallback; the
+        # default depth-generic step has nothing to warm
+        dynamic_unroll=False)
     loader, _, _ = tr.get_dataloaders()
     tr.ensure_initialized(loader)
     batch = next(iter(loader))
