@@ -123,6 +123,12 @@ def device_put_batch(batch, sharding=None):
         return tuple(a if isinstance(a, jax.Array) else jax.device_put(a)
                      for a in batch)
     if hasattr(sharding, "shard_batch"):  # GridBatchSharding (data x spatial)
+        if jax.process_count() > 1:
+            # multi-host spatial: per-process batch slices lift into
+            # ("data","x") global arrays (parallel.multihost)
+            from nps_tpu.parallel.multihost import assemble_global_grid_batch
+
+            return assemble_global_grid_batch(batch, sharding)
         return sharding.shard_batch(batch)
     if jax.process_count() > 1:
         # multi-host: each process holds only its slice of the global

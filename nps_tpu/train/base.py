@@ -437,9 +437,14 @@ class TrainInterface(metaclass=ABCMeta):
                         "tensor_parallel=K) — without one each process "
                         "would silently train its own divergent model")
                 if hasattr(self.sharding, "shard_batch"):
-                    raise NotImplementedError(
-                        "spatial_parallel is single-process for now; use "
-                        "data_parallel/tensor_parallel multi-host")
+                    # multi-host spatial: validate the process/mesh layout
+                    # up front (assemble_global_grid_batch re-checks per
+                    # batch); 1D var-t fields never shard x, so this
+                    # reduces to DP semantics on the grid mesh
+                    from nps_tpu.parallel.multihost import \
+                        validate_grid_mesh_process_layout
+
+                    validate_grid_mesh_process_layout(self.mesh)
                 gm = dict(self.mesh.shape).get("data", 1)
                 if gm % jax.process_count():
                     raise ValueError(
@@ -488,11 +493,15 @@ class TrainInterface(metaclass=ABCMeta):
                     "without one each process would silently train its "
                     "own divergent model on a disjoint data shard")
             if hasattr(self.sharding, "shard_batch"):
-                raise NotImplementedError(
-                    "spatial_parallel is single-process for now: "
-                    "GridBatchSharding places per-role global arrays via "
-                    "device_put, which cannot assemble per-process input "
-                    "slices; use data_parallel/tensor_parallel multi-host")
+                # multi-host spatial: per-process batch slices assemble
+                # into ("data","x") global arrays via
+                # parallel.multihost.assemble_global_grid_batch (x-rows
+                # never cross a process boundary); validate the layout up
+                # front so a bad mesh fails at setup, not mid-epoch
+                from nps_tpu.parallel.multihost import \
+                    validate_grid_mesh_process_layout
+
+                validate_grid_mesh_process_layout(self.mesh)
             if getattr(self.config, "device_cache", False):
                 warnings.warn("device_cache is single-process only; "
                               "falling back to HostDataLoader shards")

@@ -35,6 +35,9 @@ def main():
     p.add_argument("--var-t", action="store_true",
                    help="run the variable-time (D.sim1d_var_t) family "
                         "instead of the fixed-shape twophase grid")
+    p.add_argument("--spatial", type=int, default=0,
+                   help="use spatial_parallel=N (a dp x spatial grid "
+                        "mesh) instead of pure data_parallel")
     args = p.parse_args()
 
     from nps_tpu.parallel import init_distributed
@@ -57,7 +60,8 @@ def main():
         time_window=tw, device="cpu", batch_size=8,
         nr_gt_steps=1, nw=0, num_epochs=args.epochs, lr_step_interval=1,
         unrolling=1, print_interval=1, test_interval=args.test_interval,
-        process_settings={}, data_parallel=True)
+        process_settings={}, data_parallel=not args.spatial,
+        spatial_parallel=args.spatial)
     if args.var_t:
         # variable-time family: ragged dataset, synchronized bucketing
         # sampler, min-crop/max-pad multi-process collate
