@@ -67,8 +67,17 @@ def make_trainer(base_args):
         # cheaper numerics inside the no-grad pushforward scan body only
         # (bf16 GN statistics, tanh GELU); see models/config.py
         pushforward_fast=False,
+        # ONE compiled train step serves every pushforward depth (traced
+        # fori_loop trip count) — kills the per-depth ramp compile tax;
+        # False restores the static per-depth builder
+        dynamic_unroll=True,
+        # eval loaders' batch size (0 -> batch_size): eval has no optimizer
+        # state resident, so one whole-split batch cuts per-eval dispatches
+        # and the remainder-batch jit specialization
+        eval_batch_size=0,
         # compile-ahead: overlap the unroll ramp's future train-step
-        # compiles with training (train/pushforward.py)
+        # compiles with training (static-unroll fallback only;
+        # train/pushforward.py)
         precompile_ahead=True,
         device_cache=False,
         matmul_precision=None,

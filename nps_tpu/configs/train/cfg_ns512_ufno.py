@@ -72,6 +72,8 @@ trainer = dict(
     # batch24 (3/chip) both OOM by ~210 MB. See BASELINE.md "ns512 layouts".
     data_parallel=True,
     spatial_parallel=0,  # set K>1 for the ("data", "x") grid mesh
+    dynamic_unroll=True,  # one compiled step for every unroll depth
+    eval_batch_size=0,  # 0 -> batch_size; eval has no opt state resident
     matmul_precision=None,
     compute_dtype="bfloat16",
     resume=True,

@@ -56,6 +56,8 @@ trainer = dict(
     process_settings={},
     sampler=dict(object="VariableTimeBatchSampler", with_replacement=True),
     data_parallel=False,
+    dynamic_unroll=True,  # one compiled step for every unroll depth
+    eval_batch_size=0,  # 0 -> batch_size; eval has no opt state resident
     matmul_precision=None,
     compute_dtype=None,
     resume=False,

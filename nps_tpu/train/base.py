@@ -468,20 +468,32 @@ class TrainInterface(metaclass=ABCMeta):
             tw = self.config.time_window
             bs = self.config.batch_size
 
-            def mk(split, mode, wr):
+            ebs = int(getattr(self.config, "eval_batch_size", 0) or bs)
+
+            def mk(split, mode, wr, bsz=bs):
                 sampler = VariableTimeBatchSampler(
-                    split, batch_size=bs, with_replacement=wr,
+                    split, batch_size=bsz, with_replacement=wr,
                     seed=get_seed(), **sampler_cfg)
                 return VariableTimeLoader(split, sampler, mode=mode,
                                           time_window=tw, seed=get_seed(),
                                           global_multiple=gm)
 
             return (mk(self.data.train, "min", with_repl),
-                    mk(self.data.valid, "max", False),
-                    mk(self.data.test, "max", False))
+                    mk(self.data.valid, "max", False, ebs),
+                    mk(self.data.test, "max", False, ebs))
 
         kw = dict(batch_size=self.config.batch_size, shuffle=True,
                   seed=get_seed())
+        # evaluation has no optimizer state resident and its splits are
+        # typically ~10% of train: a larger eval batch (default: the train
+        # batch size) cuts per-eval dispatches AND avoids the remainder-
+        # batch jit specialization — e.g. a 20-sim split at batch 16 pays
+        # TWO test-step compiles (16 and 4); eval_batch_size=20 pays one.
+        # Metrics are batch-size-weighted averages, so the value is
+        # identical (tests/test_trainer.py::test_eval_batch_size_invariance)
+        ekw = dict(kw, batch_size=int(
+            getattr(self.config, "eval_batch_size", 0)
+            or self.config.batch_size))
         if jax.process_count() > 1:
             # multi-host: per-process input shards assembled into global
             # arrays (parallel.multihost); batches must stay divisible by
@@ -506,9 +518,10 @@ class TrainInterface(metaclass=ABCMeta):
                 warnings.warn("device_cache is single-process only; "
                               "falling back to HostDataLoader shards")
             kw["global_multiple"] = dict(self.mesh.shape).get("data", 1)
+            ekw["global_multiple"] = kw["global_multiple"]
             return (HostDataLoader(self.data.train, **kw),
-                    HostDataLoader(self.data.valid, **kw),
-                    HostDataLoader(self.data.test, **kw))
+                    HostDataLoader(self.data.valid, **ekw),
+                    HostDataLoader(self.data.test, **ekw))
         if getattr(self.config, "device_cache", False):
             # stage all three splits into HBM once; per-batch loading
             # becomes an on-device gather (see pipeline.DeviceCacheLoader).
@@ -516,13 +529,15 @@ class TrainInterface(metaclass=ABCMeta):
             # per-batch H2D tax every test_interval otherwise
             from nps_tpu.data.pipeline import DeviceCacheLoader
 
-            return tuple(
-                DeviceCacheLoader(split, sharding=self.sharding, **kw)
-                for split in (self.data.train, self.data.valid,
-                              self.data.test))
+            return (DeviceCacheLoader(self.data.train,
+                                      sharding=self.sharding, **kw),
+                    DeviceCacheLoader(self.data.valid,
+                                      sharding=self.sharding, **ekw),
+                    DeviceCacheLoader(self.data.test,
+                                      sharding=self.sharding, **ekw))
         return (HostDataLoader(self.data.train, **kw),
-                HostDataLoader(self.data.valid, **kw),
-                HostDataLoader(self.data.test, **kw))
+                HostDataLoader(self.data.valid, **ekw),
+                HostDataLoader(self.data.test, **ekw))
 
     # ------------------------------------------------------------------
     # abstract step contract (parity: trainers/base.py:108-152)

@@ -299,6 +299,53 @@ def test_trainer_device_cache_flag(dataset):
         assert np.isfinite(float(v))
 
 
+def test_eval_batch_size_invariance(dataset):
+    """eval_batch_size must change only the eval batching, never the
+    metric: test() weights every batch metric by its batch size, and each
+    test_step metric is a per-sample mean, so the aggregate is exactly the
+    global per-sample mean under ANY batching. Pins the knob that lets a
+    convergence run evaluate its 20-sim splits in ONE batch (one test-step
+    compile) instead of a 16 + 4 remainder pair (two compiles)."""
+    def mk(**extra):
+        model = models.EncProcDec(
+            num_c=1, num_spatial_dims=2, time_window=TW,
+            encoder="enc_grid.ElementWise", activation=GELU(),
+            processor="DilatedResnet", kernel_size=3, hidden_blocks=1,
+            hidden_features=8, padding_mode="circular",
+            decoder="dec_grid.TimeConvDense", dec_delta_mode="per_step",
+            pde=dataset.pde)
+        return AutoregressivePushforwardTrainer(
+            model=model, data=dataset,
+            criterion=build_criterion(object="nn.MSELoss", reduction="sum"),
+            optimizer=dict(object="optim.Adam", lr=1e-3), lr_scheduler=None,
+            save_path="/tmp/nps_tpu_test/ebs",
+            time_window=TW, base_resolution=(NT, NX1, NX2),
+            super_resolution=(NT, NX1, NX2), device="cpu", batch_size=4,
+            nr_gt_steps=1, nw=0, num_epochs=1, lr_step_interval=1,
+            unrolling=0, print_interval=10, test_interval=10,
+            process_settings={}, **extra)
+
+    tr_a = mk()
+    loaders_a = tr_a.get_dataloaders()
+    tr_a.ensure_initialized(loaders_a[0])
+    params0 = jax.device_get(tr_a.params)
+
+    # valid split is 8 * 0.1 -> 1 sim? generate() splits 8 sims; use the
+    # TEST loader twice: default batching vs one whole-split batch
+    tr_b = mk(eval_batch_size=64)
+    loaders_b = tr_b.get_dataloaders()
+    tr_b.params = tr_b._place_state(params0)
+    tr_b._build_optimizer()
+
+    loss_a, stats_a = tr_a.test(loaders_a[2])
+    loss_b, stats_b = tr_b.test(loaders_b[2])
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+    np.testing.assert_allclose(stats_a["Mean per-step loss"],
+                               stats_b["Mean per-step loss"], rtol=1e-5)
+    np.testing.assert_allclose(stats_a["Unrolled forward losses"],
+                               stats_b["Unrolled forward losses"], rtol=1e-5)
+
+
 def test_eval_rejects_too_short_trajectory(trainer):
     # nt < 2*time_window leaves zero (input, label) eval windows; the
     # trainer must say so instead of dying inside jnp.stack([]) (regression:
