@@ -436,6 +436,17 @@ def main():
     if budget_ok(1.5):  # depth-8 step is ~3x slower, compile similar
         measure_depth(MAX_UNROLL)
         _publish(_result(sps1, extra))
+    if budget_ok():
+        # the SHIPPED default dispatch (dynamic_unroll=True): one compiled
+        # step for every depth; measured ≤0.9% below the static per-depth
+        # step it replaces (BASELINE.md "Depth-generic train step")
+        from tools.bench_dynamic_unroll import bench_dynamic
+
+        rates, compile_s = bench_dynamic(trainer, device_batch, [1],
+                                         n_steps=max(n_steps // 2, 2))
+        extra["dyn_depth1_samples_per_sec"] = round(rates[1][0], 3)
+        extra["dyn_compile_s"] = round(compile_s, 1)
+        _publish(_result(sps1, extra))
 
     # ---- ramp-weighted time-to-train estimate (the number a user feels) --
     # The production run is 500 epochs with the pushforward ramp
