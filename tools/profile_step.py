@@ -70,7 +70,7 @@ def main():
     import bench
 
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nps_profile"
-    depth = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    mode = sys.argv[2] if len(sys.argv) > 2 else "1"
     family = sys.argv[3] if len(sys.argv) > 3 else "ufno"
     if family == "ufno":
         trainer, device_batch = bench.build_trainer()
@@ -81,6 +81,28 @@ def main():
             model_kwargs=bench_all.family_kwargs(family),
             trainer_kwargs=dict(neighbors=2) if family == "gnn" else None)
     u_traj, pos, cond, t_cond, sc = device_batch
+    if mode == "eval":
+        # the EVALUATION step (VERDICT r4 weak #3: the eval share of a
+        # convergence run was never profiled): one-step losses at every
+        # tw-strided start + the full-rollout scan, exactly what every
+        # named validation / test-on-best dispatches
+        import numpy as np
+
+        step = trainer._make_test_step(int(u_traj.shape[0]),
+                                       int(u_traj.shape[2]), has_base=False)
+        u_base = None
+        args = (trainer.params, u_base, u_traj, pos, cond, t_cond, sc, None)
+        out = step(*args)
+        float(np.asarray(out["unrolled_losses"]))  # compile + sync
+        n = 3
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(n):
+            out = step(*args)
+        float(np.asarray(out["unrolled_losses"]))
+        jax.profiler.stop_trace()
+        summarize(trace_dir, n)
+        return
+    depth = int(mode)
     step = trainer._make_train_step(depth, u_traj.shape[0], u_traj.shape[2])
     params, opt_state = trainer.params, trainer.opt_state
     params, opt_state, loss = step(params, opt_state, u_traj, pos, cond,
