@@ -109,6 +109,50 @@ def test_assemble_global_batch_rejects_indivisible():
         assemble_global_batch((bad,), sharding)
 
 
+def test_assemble_global_grid_batch_single_process():
+    """Degenerate P=1 case on the ("data","x") grid mesh: field tensors
+    come back x-sharded exactly like GridBatchSharding.shard_batch."""
+    from nps_tpu.parallel import GridBatchSharding, make_grid_mesh
+    from nps_tpu.parallel.multihost import assemble_global_grid_batch
+
+    mesh = make_grid_mesh(2)
+    gs = GridBatchSharding(mesh)
+    b, nx = 8, 4
+    u = np.arange(b * 1 * 3 * nx * nx, dtype=np.float32).reshape(
+        b, 1, 3, nx, nx)
+    x = np.zeros((b, nx, nx, 2), np.float32)
+    cond = np.ones((b, 2), np.float32)
+    empty = np.zeros((b, 0), np.float32)
+    batch = (np.zeros((0,), np.float32), u, x, cond, empty, empty)
+    got = assemble_global_grid_batch(batch, gs)
+    ref = gs.shard_batch(batch)
+    for g, r in zip(got[1:], ref[1:]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+        if np.asarray(g).size:  # empties: shard_batch leaves them
+            assert g.sharding.spec == r.sharding.spec, \
+                (g.sharding, r.sharding)  # single-device, assembly replicates
+    # the u field actually sharded its X axis over "x"
+    assert "x" in str(got[1].sharding.spec)
+
+
+def test_grid_mesh_process_layout_validation(monkeypatch):
+    """Multi-host spatial preconditions fail loudly: the data axis must
+    split over processes and x-rows must stay within a process."""
+    from nps_tpu.parallel import make_grid_mesh
+    from nps_tpu.parallel.multihost import validate_grid_mesh_process_layout
+
+    mesh = make_grid_mesh(2)  # 8 devices -> data=4, x=2
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    with pytest.raises(ValueError, match="multiple of the process count"):
+        validate_grid_mesh_process_layout(mesh)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "local_device_count", lambda: 3)
+    with pytest.raises(ValueError, match="divide the per-process"):
+        validate_grid_mesh_process_layout(mesh)
+    monkeypatch.setattr(jax, "local_device_count", lambda: 4)
+    validate_grid_mesh_process_layout(mesh)  # data=4 over 2 procs: OK
+
+
 def test_loader_rejects_batch_below_multiple():
     with pytest.raises(ValueError, match="trim to zero"):
         HostDataLoader(_FakeDataset(16), 2, process_index=0,
