@@ -80,6 +80,8 @@ def make_trainer(base_args):
         # train/pushforward.py)
         precompile_ahead=True,
         device_cache=False,
+        device_cache_scope=None,  # None/"all" -> all splits; "train"
+        device_cache_dtype=None,  # e.g. "bfloat16": cast cached floats
         matmul_precision=None,
         compute_dtype=None,
         resume=False,

@@ -73,6 +73,12 @@ trainer = dict(
     data_parallel=True,
     spatial_parallel=0,  # set K>1 for the ("data", "x") grid mesh
     dynamic_unroll=True,  # one compiled step for every unroll depth
+    # 512^2 input tax: the 52-sim train split is 5.5 GB f32 — a bf16
+    # train-only cache (2.75 GB HBM) kills the ~212 MB/batch H2D copy
+    # while eval stays on the f32 host path for exact metrics
+    device_cache=False,
+    device_cache_scope="train",
+    device_cache_dtype="bfloat16",
     eval_batch_size=0,  # 0 -> batch_size; eval has no opt state resident
     matmul_precision=None,
     compute_dtype="bfloat16",

@@ -522,15 +522,33 @@ class TrainInterface(metaclass=ABCMeta):
             return (HostDataLoader(self.data.train, **kw),
                     HostDataLoader(self.data.valid, **ekw),
                     HostDataLoader(self.data.test, **ekw))
-        if getattr(self.config, "device_cache", False):
-            # stage all three splits into HBM once; per-batch loading
-            # becomes an on-device gather (see pipeline.DeviceCacheLoader).
-            # eval splits are ~10% the train size each and pay the same
-            # per-batch H2D tax every test_interval otherwise
+        dc = getattr(self.config, "device_cache", False)
+        if dc:
+            # stage splits into HBM once; per-batch loading becomes an
+            # on-device gather (see pipeline.DeviceCacheLoader). eval
+            # splits are ~10% the train size each and pay the same
+            # per-batch H2D tax every test_interval otherwise.
+            #   device_cache_scope="all" (default) -> cache all three
+            #     splits; "train" -> train split only (large datasets:
+            #     eval stays on the host path so the HBM cache budget
+            #     goes to the split read every step)
+            #   device_cache_dtype=bfloat16 -> cast float roles before
+            #     staging (halves fill H2D + HBM residency; train-step
+            #     inputs are cast to compute_dtype anyway)
             from nps_tpu.data.pipeline import DeviceCacheLoader
 
-            return (DeviceCacheLoader(self.data.train,
-                                      sharding=self.sharding, **kw),
+            scope = str(getattr(self.config, "device_cache_scope", None)
+                        or "all").lower()
+            cache_dtype = getattr(self.config, "device_cache_dtype",
+                                  None) or None
+            train_loader = DeviceCacheLoader(
+                self.data.train, sharding=self.sharding,
+                cache_dtype=cache_dtype, **kw)
+            if scope == "train":
+                return (train_loader,
+                        HostDataLoader(self.data.valid, **ekw),
+                        HostDataLoader(self.data.test, **ekw))
+            return (train_loader,
                     DeviceCacheLoader(self.data.valid,
                                       sharding=self.sharding, **ekw),
                     DeviceCacheLoader(self.data.test,

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 import nps_tpu.models as models
 from nps_tpu.data.synthetic import generate
@@ -293,6 +294,60 @@ def test_trainer_device_cache_flag(dataset):
     assert all(isinstance(ld, DeviceCacheLoader) for ld in loaders)
     # the full loop: pre-train sanity eval + epoch + validation all run
     # through the cached (train) and cached (valid/test) gather paths
+    train_losses, val_losses, _ = tr.train()
+    assert len(train_losses) == 1 and np.isfinite(train_losses[0])
+    for v in jax.tree_util.tree_leaves(val_losses):
+        assert np.isfinite(float(v))
+
+
+def test_device_cache_scope_and_dtype(dataset):
+    """device_cache_scope="train" caches only the train split (eval stays
+    on the f32 host path) and device_cache_dtype casts the cached float
+    roles — the 512^2 input-tax levers (cfg_ns512_ufno)."""
+    from nps_tpu.data.pipeline import DeviceCacheLoader, HostDataLoader
+
+    model = models.EncProcDec(
+        num_c=1, num_spatial_dims=2, time_window=TW,
+        encoder="enc_grid.ElementWise", activation=GELU(),
+        processor="DilatedResnet", kernel_size=3, hidden_blocks=1,
+        hidden_features=8, padding_mode="circular",
+        decoder="dec_grid.TimeConvDense", dec_delta_mode="per_step",
+        pde=dataset.pde)
+    tr = AutoregressivePushforwardTrainer(
+        model=model, data=dataset,
+        criterion=build_criterion(object="nn.MSELoss", reduction="sum"),
+        optimizer=dict(object="optim.Adam", lr=1e-3), lr_scheduler=None,
+        save_path="/tmp/nps_tpu_test/cache_scope_model",
+        time_window=TW, base_resolution=(NT, NX1, NX2), device="cpu",
+        batch_size=4, nr_gt_steps=1, nw=0, num_epochs=1, lr_step_interval=1,
+        unrolling=1, print_interval=1, test_interval=1, process_settings={},
+        device_cache=True, device_cache_scope="train",
+        device_cache_dtype="bfloat16")
+    train_loader, valid_loader, test_loader = tr.get_dataloaders()
+    assert isinstance(train_loader, DeviceCacheLoader)
+    assert isinstance(valid_loader, HostDataLoader)
+    assert isinstance(test_loader, HostDataLoader)
+    batch = next(iter(train_loader))
+    # float roles cached (and gathered) at bf16; index/empty roles intact
+    assert batch[1].dtype == jnp.bfloat16
+    ref = next(iter(HostDataLoader(dataset.train, 4, shuffle=False)))
+    tr2 = AutoregressivePushforwardTrainer(
+        model=model, data=dataset,
+        criterion=build_criterion(object="nn.MSELoss", reduction="sum"),
+        optimizer=dict(object="optim.Adam", lr=1e-3), lr_scheduler=None,
+        save_path="/tmp/nps_tpu_test/cache_scope_model2",
+        time_window=TW, base_resolution=(NT, NX1, NX2), device="cpu",
+        batch_size=4, nr_gt_steps=1, nw=0, num_epochs=1, lr_step_interval=1,
+        unrolling=1, print_interval=1, test_interval=1, process_settings={},
+        device_cache=True, device_cache_scope="train",
+        device_cache_dtype="bfloat16")
+    c = tr2.get_dataloaders()[0]
+    c.shuffle = False
+    first = next(iter(c))
+    np.testing.assert_allclose(
+        np.asarray(first[1], np.float32), ref[1].astype(jnp.bfloat16)
+        .astype(np.float32), rtol=0, atol=0)
+    # the full loop still trains + evaluates finitely through mixed paths
     train_losses, val_losses, _ = tr.train()
     assert len(train_losses) == 1 and np.isfinite(train_losses[0])
     for v in jax.tree_util.tree_leaves(val_losses):
