@@ -40,12 +40,13 @@ def t(label, fn):
 
 def main():
     exp = sys.argv[1] if len(sys.argv) > 1 else "experiments/convergence_r5"
+    device = os.environ.get("NPS_PROBE_DEVICE", "tpu")
     sys.argv = [
         "probe", "-C", "nps_tpu/configs/train/cfg_twophase_ufno.py",
         "--base_resolution=[251,96,64]", "--super_resolution=[251,96,64]",
         "--dataset.base_path=/tmp/convdata", "--dataset.c_filter=[0]",
         "--model.activation=gelu_tanh",
-        "--trainer.device=tpu", "--trainer.device_cache=true",
+        f"--trainer.device={device}", "--trainer.device_cache=true",
         "--trainer.compute_dtype=bfloat16", "--trainer.eval_batch_size=20",
         "--trainer.resume=true",
         f"--experiment_path={exp}", "--experiment_name=conv_ufno",
